@@ -90,20 +90,27 @@ def penalty_fold_vec(h, D, rho, g):
     return h - jnp.einsum("...ci,...c->...i", D, rho * g)
 
 
-def terminal_step(params: StageParams, problem: LQRProblem, rho_N):
-    """Terminal backward step with factorization.
+def terminal_step_raw(Hxx, hx, Dx, rho_N, g):
+    """Terminal backward step on raw terminal blocks.
 
     Reference: LQRKernel::terminal_step_with_factorization
     (lqr_kernel.hpp:79-91): fold penalty, Lxx = chol(H~), p = h~.
     """
-    nu = problem.nu
-    Hxx = params.H[-1, nu:, nu:]
-    hx = params.h[-1, nu:]
-    Dx = problem.D[-1, :, nu:]
-    g = params.g[-1]
     Hxx, hx = penalty_fold(Hxx, hx, Dx, rho_N, g)
     Lxx = linalg.cholesky(Hxx)
     return Lxx, hx
+
+
+def terminal_step(params: StageParams, problem: LQRProblem, rho_N):
+    """Terminal backward step with factorization (pytree front-end)."""
+    nu = problem.nu
+    return terminal_step_raw(
+        params.H[-1, nu:, nu:],
+        params.h[-1, nu:],
+        problem.D[-1, :, nu:],
+        rho_N,
+        params.g[-1],
+    )
 
 
 def backward_step(carry, stage):
