@@ -1,0 +1,92 @@
+"""Headline benchmark: batched conic LQR solves/s on one chip.
+
+Workload (BASELINE.json config #4 scaled to one chip): a scenario batch
+of quadrotor-class LQ instances (nx=12, nu=4) at horizon N=512, full
+backward + forward solve per instance.  Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": "solves/s", "vs_baseline": ...}
+
+vs_baseline is measured solves/s/chip divided by the per-chip share of
+the BASELINE.json target (>=100k solves/s on a v5p-16, i.e. 8 chips ->
+12.5k solves/s/chip).
+
+Usage: python bench.py [--batch B] [--horizon N] [--iters K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+TARGET_PER_CHIP = 100_000 / 8.0  # v5p-16 == 8 chips
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--horizon", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--solver", default="auto",
+                    choices=["auto", "seq", "pdp", "assoc"])
+    args = ap.parse_args()
+
+    backend = jax.default_backend()
+    on_cpu = backend == "cpu"
+    B = args.batch if args.batch is not None else (32 if on_cpu else 4096)
+    N = args.horizon
+
+    from __graft_entry__ import _quadrotor_batch
+
+    problem, its, x0 = _quadrotor_batch(batch=B, N=N)
+
+    solver_name = args.solver
+    if solver_name == "auto":
+        solver_name = "seq"
+
+    if solver_name == "seq":
+        from pdp_lqr_tpu.solvers import sequential
+
+        def step(problem, its, x0):
+            ws, _ = sequential.solve_batched(problem, its, x0, 1e-6)
+            return ws
+    elif solver_name == "pdp":
+        from pdp_lqr_tpu.solvers import pdp
+        from pdp_lqr_tpu.config import CondensedSolverType
+
+        def step(problem, its, x0):
+            ws, _ = pdp.solve_batched(
+                problem, its, x0, 1e-6, 8, CondensedSolverType.CHOLESKY
+            )
+            return ws
+    else:
+        from pdp_lqr_tpu.solvers import assoc
+
+        def step(problem, its, x0):
+            ws, _ = assoc.solve_batched(problem, its, x0, 1e-6)
+            return ws
+
+    fn = jax.jit(step)
+    ws = jax.block_until_ready(fn(problem, its, x0))  # compile + warm
+    assert bool(jnp.all(jnp.isfinite(ws))), "non-finite solve output"
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        ws = fn(problem, its, x0)
+    jax.block_until_ready(ws)
+    dt = time.perf_counter() - t0
+
+    solves_per_s = B * args.iters / dt
+    print(json.dumps({
+        "metric": f"conic LQR solves/s/chip (backward+forward, N={N}, "
+                  f"nx=12, nu=4, B={B}, {solver_name}, {backend})",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / TARGET_PER_CHIP, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
