@@ -121,11 +121,23 @@ def backward_step(carry, stage):
       Pb = Lxx+ Lxx+^T c + p+ -> lp = h + E^T Pb
       lu = Luu^{-1} lp_u ;  p = lp_x - Lxu lu
     """
-    Lxx_next, p_next = carry
     A, B, c, H, h, D, rho, g = stage
-    nu = B.shape[-1]
-
     H, h = penalty_fold(H, h, D, rho, g)
+    return backward_step_folded(carry, (A, B, c, H, h))
+
+
+def backward_step_folded(carry, stage):
+    """One backward Riccati stage on penalty-folded data.
+
+    Reference math: LQRKernel::step_with_factorization
+    (lqr_kernel.hpp:121-146) minus the fold — on TPU the fold
+    (lqr_kernel.hpp:106-112) runs *outside* the scan as one batched
+    einsum over all stages, so the sequential loop body stays lean and
+    D/rho/g never enter the scan's stacked inputs (HBM traffic).
+    """
+    Lxx_next, p_next = carry
+    A, B, c, H, h = stage
+    nu = B.shape[-1]
 
     E = jnp.concatenate([B, A], axis=-1)  # (nx, nz), E = [B A]
     V = E.T @ Lxx_next  # (nz, nx)
@@ -145,17 +157,17 @@ def backward(problem: LQRProblem, params: StageParams, rho) -> RiccatiFactors:
     """Full backward sweep with factorization.
 
     Reference: LQRSolver::backward (lqr_solver.hpp:58-63) — terminal
-    step then reverse loop, here a ``lax.scan(..., reverse=True)``.
-    ``rho`` is the stacked (N+1, nc) penalty vector.
+    step then reverse loop, here a ``lax.scan(..., reverse=True)``
+    over penalty-prefolded stage data.  ``rho`` is the stacked
+    (N+1, nc) penalty vector.
     """
-    LxxN, pN = terminal_step(params, problem, rho[-1])
-    stages = (
-        problem.A, problem.B, problem.c,
-        params.H[:-1], params.h[:-1],
-        problem.D[:-1], rho[:-1], params.g[:-1],
-    )
+    Hf, hf = penalty_fold(params.H, params.h, problem.D, rho, params.g)
+    nu = problem.nu
+    LxxN = linalg.cholesky(Hf[-1, nu:, nu:])
+    pN = hf[-1, nu:]
+    stages = (problem.A, problem.B, problem.c, Hf[:-1], hf[:-1])
     (_, _), (L, lp) = jax.lax.scan(
-        backward_step, (LxxN, pN), stages, reverse=True
+        backward_step_folded, (LxxN, pN), stages, reverse=True
     )
     return RiccatiFactors(L=L, lp=lp, LxxN=LxxN, pN=pN)
 
@@ -171,14 +183,11 @@ def backward_no_refactor(
     since the factoring sweep.
     """
     nu = problem.nu
-    hx = penalty_fold_vec(
-        params.h[-1, nu:], problem.D[-1, :, nu:], rho[-1], params.g[-1]
-    )
-    pN = hx
+    hf = penalty_fold_vec(params.h, problem.D, rho, params.g)
+    pN = hf[-1, nu:]
 
     def step(p_next, stage):
-        A, B, c, h, D, rho_k, g, L, Lxx_next = stage
-        h = penalty_fold_vec(h, D, rho_k, g)
+        A, B, c, h, L, Lxx_next = stage
         E = jnp.concatenate([B, A], axis=-1)
         Pb = Lxx_next @ (Lxx_next.T @ c) + p_next
         lp = h + E.T @ Pb
@@ -188,9 +197,7 @@ def backward_no_refactor(
 
     Lxx_next = jnp.concatenate([factors.L[1:, nu:, nu:], factors.LxxN[None]], axis=0)
     stages = (
-        problem.A, problem.B, problem.c,
-        params.h[:-1], problem.D[:-1], rho[:-1], params.g[:-1],
-        factors.L, Lxx_next,
+        problem.A, problem.B, problem.c, hf[:-1], factors.L, Lxx_next,
     )
     _, lp = jax.lax.scan(step, pN, stages, reverse=True)
     return RiccatiFactors(L=factors.L, lp=lp, LxxN=factors.LxxN, pN=pN)

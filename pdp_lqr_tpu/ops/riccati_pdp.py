@@ -69,20 +69,21 @@ class PDPFactors:
 
 
 def _segment_backward_step(carry, stage):
-    """Base Riccati step + segment-coupling propagation.
+    """Base Riccati step + segment-coupling propagation (folded data).
 
-    Base step: lqr_kernel.hpp:103-147 (shared with the sequential path).
+    Base step: lqr_kernel.hpp:103-147 (shared with the sequential path;
+    penalty fold happens outside the scan, see riccati.backward).
     Coupling (lqr_kernel_parallel.hpp:97-135):
       K = -Luu^{-T} Lxu^T ; d = -Luu^{-T} lu
       G = -Luu^{-1} B^T F+^T
       F = F+ (A + B K) ; f = F+ (c + B d) + f+ ; C = C+ + G^T G
     """
     Lxx_next, p_next, F_next, C_next, f_next = carry
-    A, B, c, H, h, D, rho, g = stage
+    A, B, c, H, h = stage
     nu = B.shape[-1]
 
-    (Lxx, p), (L, lp) = riccati.backward_step(
-        (Lxx_next, p_next), (A, B, c, H, h, D, rho, g)
+    (Lxx, p), (L, lp) = riccati.backward_step_folded(
+        (Lxx_next, p_next), (A, B, c, H, h)
     )
 
     Luu = L[:nu, :nu]
@@ -116,9 +117,13 @@ def segment_reduction(problem: LQRProblem, params: StageParams, rho,
     Nseg = N // S
     dt = params.H.dtype
 
+    Hf, hf = riccati.penalty_fold(
+        params.H, params.h, problem.D, rho, params.g
+    )
     # True terminal step feeds the last segment's init
     # (lqr_solver_parallel.hpp:170-171 with is_last_segment=true).
-    LxxN, pN = riccati.terminal_step(params, problem, rho[-1])
+    LxxN = linalg.cholesky(Hf[-1, nu:, nu:])
+    pN = hf[-1, nu:]
 
     zeros = jnp.zeros((S - 1, nx, nx), dt)
     Lxx_init = jnp.concatenate([zeros, LxxN[None]], axis=0)
@@ -130,8 +135,7 @@ def segment_reduction(problem: LQRProblem, params: StageParams, rho,
     seg = lambda x: x.reshape((S, Nseg) + x.shape[1:])
     stages = (
         seg(problem.A), seg(problem.B), seg(problem.c),
-        seg(params.H[:-1]), seg(params.h[:-1]),
-        seg(problem.D[:-1]), seg(rho[:-1]), seg(params.g[:-1]),
+        seg(Hf[:-1]), seg(hf[:-1]),
     )
 
     def one_segment(init_Lxx, init_p, init_F, init_C, init_f, seg_stages):
@@ -165,10 +169,8 @@ def segment_reduction_no_refactor(
     nx, nu = problem.nx, problem.nu
     dt = params.H.dtype
 
-    hx = riccati.penalty_fold_vec(
-        params.h[-1, nu:], problem.D[-1, :, nu:], rho[-1], params.g[-1]
-    )
-    pN = hx
+    hf = riccati.penalty_fold_vec(params.h, problem.D, rho, params.g)
+    pN = hf[-1, nu:]
 
     # Cached Lxx_{k+1} per stage: shift within each segment; the
     # boundary entry is 0 for non-last segments (zero-initialized
@@ -185,14 +187,12 @@ def segment_reduction_no_refactor(
     seg = lambda x: x.reshape((S, Nseg) + x.shape[1:])
     stages = (
         seg(problem.A), seg(problem.B), seg(problem.c),
-        seg(params.h[:-1]), seg(problem.D[:-1]), seg(rho[:-1]),
-        seg(params.g[:-1]), factors.L, Lxx_next, factors.Fnext,
+        seg(hf[:-1]), factors.L, Lxx_next, factors.Fnext,
     )
 
     def step(carry, stage):
         p_next, f_next = carry
-        A, B, c, h, D, rho_k, g, L, Lxxn, Fn = stage
-        h = riccati.penalty_fold_vec(h, D, rho_k, g)
+        A, B, c, h, L, Lxxn, Fn = stage
         E = jnp.concatenate([B, A], axis=-1)
         Pb = Lxxn @ (Lxxn.T @ c) + p_next
         lp = h + E.T @ Pb

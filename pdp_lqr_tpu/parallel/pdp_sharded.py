@@ -52,6 +52,9 @@ def _build(mesh: Mesh, solver_type: CondensedSolverType, nu: int):
         dt = A.dtype
 
         def reduce_one(Ak, Bk, ck, Hk, hk, Dk, rhok, gk, HNk, hNk, DNk, rhoNk, gNk):
+            # Penalty fold outside the scan (one batched einsum over the
+            # local segment — see riccati.backward for the rationale).
+            Hfk, hfk = riccati.penalty_fold(Hk, hk, Dk, rhok, gk)
             # Terminal init computed on every device (cheap, avoids a
             # branch); masked so only the last segment uses it
             # (lqr_kernel_parallel.hpp:51-67).
@@ -69,7 +72,7 @@ def _build(mesh: Mesh, solver_type: CondensedSolverType, nu: int):
             carry, (L, lp, G, Fnext) = jax.lax.scan(
                 riccati_pdp._segment_backward_step,
                 carry0,
-                (Ak, Bk, ck, Hk, hk, Dk, rhok, gk),
+                (Ak, Bk, ck, Hfk, hfk),
                 reverse=True,
             )
             Lxx0, p0, F0, C0, f0 = carry

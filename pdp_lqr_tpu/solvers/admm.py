@@ -1,0 +1,295 @@
+"""Conic ADMM (OSQP-style) outer loop — completing the reference.
+
+The reference library only ships the ADMM *inner* KKT solve, explicitly
+parameterized by iterates (ws, ys, zs, rho_vecs — lqr_solver.hpp:15-22)
+of an outer loop it does not include ("The full code will be released
+soon", README.md:8; bounds e_lb/e_ub are stored but never read by any
+solver, lqr_model.hpp:22-24).  This module supplies that loop, built
+exactly on the interface the reference defines:
+
+  x-update   backend solve with StageParams(w, y, z, rho, sigma)
+             (update_problem_data semantics, lqr_solver.hpp:41-56);
+             dynamics are inside the solve, so they are satisfied
+             exactly at every iterate.
+  z-update   projection of the relaxed constraint values onto
+             box x second-order cones (the "conic" in the title).
+  y-update   scaled dual ascent.
+  rho        adaptive penalty with the OSQP residual-balancing rule;
+             a rho change triggers matrix refactorization, otherwise
+             iterations ride the reference's without_factorization
+             fast path (lqr_solver.hpp:65-70).
+
+TPU shape of the loop: refactor-solves happen on a fixed cadence
+(``rho_update_interval``) so control flow is identical across a
+vmapped batch — no data-dependent branching, no host sync; convergence
+is tracked per instance as a mask, and iterations between refactors
+run as one ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pdp_lqr_tpu.ops import projections
+from pdp_lqr_tpu.problem import ADMMIterates, LQRProblem
+
+
+@dataclasses.dataclass(frozen=True)
+class ADMMSettings:
+    """Static outer-loop knobs (hashable; safe under jit closure).
+
+    sigma/rho defaults follow the reference example (lqr_example.cpp:170-171);
+    alpha/adaptive-rho bounds follow OSQP defaults.
+    """
+
+    sigma: float = 1e-6
+    rho: float = 0.1
+    alpha: float = 1.6
+    max_iter: int = 250
+    rho_update_interval: int = 25
+    adaptive_rho: bool = True
+    rho_min: float = 1e-6
+    rho_max: float = 1e6
+    eps_abs: float = 1e-6
+    eps_rel: float = 1e-6
+    backend: str = "seq"          # seq | assoc | pdp | kkt
+    num_segments: int = 4         # pdp backend only
+    rho_dyn: float = 1e-6         # kkt backend only
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ADMMState:
+    """Warm-startable iterate state (the reference's ws/ys/zs vectors)."""
+
+    w: jax.Array          # (N+1, nz) primal trajectory [u; x]
+    z: jax.Array          # (N+1, nc) slack
+    y: jax.Array          # (N+1, nc) dual
+    rho: jax.Array        # () scalar penalty (scaled by the row mask)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ADMMInfo:
+    iterations: jax.Array     # () iterations run
+    r_prim: jax.Array         # () final primal residual (inf-norm)
+    r_dual: jax.Array         # () final dual residual (inf-norm)
+    converged: jax.Array      # () bool
+    iter_converged: jax.Array # () first iteration meeting tolerance
+
+    def __repr__(self):  # readable in example scripts
+        return (
+            f"ADMMInfo(iters={self.iterations}, r_prim={self.r_prim:.3e}, "
+            f"r_dual={self.r_dual:.3e}, converged={self.converged})"
+        )
+
+
+def _backend(settings: ADMMSettings):
+    name = settings.backend
+    if name == "seq":
+        from pdp_lqr_tpu.solvers import sequential as be
+
+        return be.solve, be.resolve
+    if name == "assoc":
+        from pdp_lqr_tpu.solvers import assoc as be
+
+        return be.solve, be.resolve
+    if name == "kkt":
+        from pdp_lqr_tpu.solvers import kkt as be
+
+        def solve(problem, it, x0, sigma):
+            return be.solve(problem, it, x0, sigma, settings.rho_dyn)
+
+        return solve, be.resolve
+    if name == "pdp":
+        from pdp_lqr_tpu.config import CondensedSolverType
+        from pdp_lqr_tpu.solvers import pdp as be
+
+        def solve(problem, it, x0, sigma):
+            return be.solve(
+                problem, it, x0, sigma, settings.num_segments,
+                CondensedSolverType.CHOLESKY,
+            )
+
+        return solve, be.resolve
+    raise ValueError(f"unknown backend {name!r}")
+
+
+def _con_mask(problem: LQRProblem, cones: Tuple = ()):
+    """(N+1, nc) rows that actually constrain.
+
+    A row is active when its D row is nonzero, or when it belongs to a
+    cone whose block has any nonzero row at that stage (a cone's t-row
+    may legitimately be all-zero D with the bound carried by
+    ``soc_shift``, e.g. a plain control-norm ball ||u|| <= margin).
+    """
+    mask = jnp.any(problem.D != 0, axis=-1)
+    for off, dim in cones:
+        blk = jnp.any(mask[..., off : off + dim], axis=-1, keepdims=True)
+        mask = mask.at[..., off : off + dim].set(
+            jnp.broadcast_to(blk, mask[..., off : off + dim].shape)
+        )
+    return mask
+
+
+def init_state(problem: LQRProblem, settings: ADMMSettings) -> ADMMState:
+    dt = problem.H.dtype
+    return ADMMState(
+        w=jnp.zeros(problem.h.shape, dt),
+        z=jnp.zeros(problem.e_lb.shape, dt),
+        y=jnp.zeros(problem.e_lb.shape, dt),
+        rho=jnp.asarray(settings.rho, dt),
+    )
+
+
+def solve(
+    problem: LQRProblem,
+    x0,
+    cones: Sequence[projections.ConeSpec] = (),
+    settings: ADMMSettings = ADMMSettings(),
+    state: Optional[ADMMState] = None,
+    soc_shift=None,
+):
+    """Solve the constrained conic LQ problem.
+
+    Returns (ws, state, info): ws is the (N+1, nz) trajectory (dynamics
+    exactly feasible; constraint feasibility to tolerance), state warm-
+    starts the next solve (receding-horizon MPC), info carries residuals.
+
+    ``cones`` is a static sequence of (row_offset, dim) SOC specs into
+    the per-stage constraint block; remaining rows are boxes.
+    ``soc_shift`` ((N+1, nc) or None) adds an affine offset to cone
+    rows: D_k w_k + shift_k in SOC (see projections.project_constraints).
+    """
+    cones = tuple(cones)
+    if problem.nc == 0:
+        be_solve, _ = _backend(settings)
+        it = ADMMIterates(
+            w=jnp.zeros(problem.h.shape, problem.H.dtype),
+            y=jnp.zeros(problem.e_lb.shape, problem.H.dtype),
+            z=jnp.zeros(problem.e_lb.shape, problem.H.dtype),
+            rho=jnp.zeros(problem.e_lb.shape, problem.H.dtype),
+        )
+        ws, _ = be_solve(problem, it, x0, settings.sigma)
+        zero = jnp.asarray(0.0, ws.dtype)
+        info = ADMMInfo(
+            iterations=jnp.asarray(1), r_prim=zero, r_dual=zero,
+            converged=jnp.asarray(True), iter_converged=jnp.asarray(1),
+        )
+        return ws, state or init_state(problem, settings), info
+
+    be_solve, be_resolve = _backend(settings)
+    sigma = settings.sigma
+    alpha = settings.alpha
+    dt = problem.H.dtype
+    mask = _con_mask(problem, cones).astype(dt)
+
+    if state is None:
+        state = init_state(problem, settings)
+
+    Dw = lambda w: jnp.einsum("kcz,kz->kc", problem.D, w)
+
+    def iteration(carry, factors, resolve: bool):
+        w, z, y, rho, stats = carry
+        rho_vec = rho * mask
+        it = ADMMIterates(w=w, y=y, z=z, rho=rho_vec)
+        if resolve:
+            w_t, factors = be_resolve(problem, it, x0, sigma, factors)
+        else:
+            w_t, factors = be_solve(problem, it, x0, sigma)
+        z_t = Dw(w_t)
+
+        w_new = alpha * w_t + (1.0 - alpha) * w
+        inv_rho = jnp.where(mask > 0, 1.0 / rho, 0.0)
+        v = alpha * z_t + (1.0 - alpha) * z + inv_rho * y
+        z_new = projections.project_constraints(
+            v, problem.e_lb, problem.e_ub, cones, soc_shift
+        )
+        # Inactive (padded) rows stay identically zero.
+        z_new = z_new * mask
+        y_new = y + rho_vec * (alpha * z_t + (1.0 - alpha) * z - z_new)
+
+        # Residuals (OSQP sec. 3.4): primal on the updated pair,
+        # dual via the z-step change.
+        Dw_new = Dw(w_new)
+        r_prim = jnp.max(jnp.abs((Dw_new - z_new) * mask))
+        dz = jnp.einsum("kcz,kc->kz", problem.D, (z_new - z) * mask)
+        r_dual = rho * jnp.max(jnp.abs(dz))
+
+        prim_scale = jnp.maximum(
+            jnp.max(jnp.abs(Dw_new * mask)), jnp.max(jnp.abs(z_new))
+        )
+        dty = jnp.einsum("kcz,kc->kz", problem.D, y_new)
+        dual_scale = jnp.max(jnp.abs(dty))
+        eps_prim = settings.eps_abs + settings.eps_rel * prim_scale
+        eps_dual = settings.eps_abs + settings.eps_rel * dual_scale
+        conv = (r_prim <= eps_prim) & (r_dual <= eps_dual)
+
+        k, iter_conv, _, _, _ = stats
+        k = k + 1
+        iter_conv = jnp.where(conv & (iter_conv < 0), k, iter_conv)
+        stats = (k, iter_conv, r_prim, r_dual, conv)
+        return (w_new, z_new, y_new, rho, stats), factors
+
+    stats0 = (
+        jnp.asarray(0), jnp.asarray(-1),
+        jnp.asarray(jnp.inf, dt), jnp.asarray(jnp.inf, dt),
+        jnp.asarray(False),
+    )
+    carry = (state.w, state.z, state.y, jnp.asarray(state.rho, dt), stats0)
+
+    interval = max(1, settings.rho_update_interval)
+    n_chunks = -(-settings.max_iter // interval)
+
+    for chunk in range(n_chunks):
+        n_cheap = min(interval, settings.max_iter - chunk * interval) - 1
+        # Refactor iteration (rho may have changed between chunks).
+        carry, factors = iteration(carry, None, resolve=False)
+        if n_cheap > 0:
+            def cheap(c, _):
+                c, _ = iteration(c, factors, resolve=True)
+                return c, None
+
+            carry, _ = jax.lax.scan(cheap, carry, None, length=n_cheap)
+        if settings.adaptive_rho and chunk + 1 < n_chunks:
+            w, z, y, rho, stats = carry
+            _, _, r_prim, r_dual, _ = stats
+            tiny = jnp.asarray(1e-12, dt)
+            ratio = jnp.sqrt(
+                jnp.maximum(r_prim, tiny) / jnp.maximum(r_dual, tiny)
+            )
+            rho_new = jnp.clip(
+                rho * ratio, settings.rho_min, settings.rho_max
+            )
+            # OSQP only updates on a >5x imbalance.
+            update = (ratio > jnp.asarray(5.0, dt)) | (
+                ratio < jnp.asarray(0.2, dt)
+            )
+            rho = jnp.where(update, rho_new, rho)
+            carry = (w, z, y, rho, stats)
+
+    w, z, y, rho, stats = carry
+    k, iter_conv, r_prim, r_dual, conv = stats
+    info = ADMMInfo(
+        iterations=k, r_prim=r_prim, r_dual=r_dual, converged=conv,
+        iter_converged=jnp.where(iter_conv < 0, k, iter_conv),
+    )
+    return w, ADMMState(w=w, z=z, y=y, rho=rho), info
+
+
+def solve_batched(problem, x0, cones=(), settings=ADMMSettings(), state=None,
+                  soc_shift=None):
+    """vmap over a leading batch axis of (problem, x0[, state]).
+
+    ``soc_shift`` is unbatched (shared across instances) when given.
+    """
+    cones = tuple(cones)
+    if state is None:
+        fn = lambda p, x: solve(p, x, cones, settings, None, soc_shift)
+        return jax.vmap(fn)(problem, x0)
+    fn = lambda p, x, s: solve(p, x, cones, settings, s, soc_shift)
+    return jax.vmap(fn)(problem, x0, state)

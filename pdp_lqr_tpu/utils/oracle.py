@@ -104,6 +104,116 @@ def riccati_numpy(problem, it, sigma, x0):
     return ws
 
 
+def solve_constrained_qp(problem, x0, cones=(), tol=1e-10, maxiter=3000,
+                         soc_shift=None):
+    """Constrained conic LQ oracle via scipy trust-constr (independent
+    witness for the ADMM outer loop — the reference has no counterpart,
+    its outer loop being unreleased, README.md:8).
+
+    Single-shooting parameterization: decision variables are the
+    stacked controls; states are eliminated through the rollout, so
+    dynamics are exact by construction.  Box rows become a
+    LinearConstraint, cone specs (offset, dim) become nonlinear
+    constraints t - ||v|| >= 0.  Suitable for small N only.
+
+    Returns ws (N+1, nz).
+    """
+    import scipy.optimize as sopt
+
+    A = np.asarray(problem.A, np.float64)
+    B = np.asarray(problem.B, np.float64)
+    c = np.asarray(problem.c, np.float64)
+    H = np.asarray(problem.H, np.float64)
+    h = np.asarray(problem.h, np.float64)
+    D = np.asarray(problem.D, np.float64)
+    e_lb = np.asarray(problem.e_lb, np.float64)
+    e_ub = np.asarray(problem.e_ub, np.float64)
+    N, nx = A.shape[0], A.shape[-1]
+    nu = B.shape[-1]
+    nz = nx + nu
+    nU = N * nu
+    x0 = np.asarray(x0, np.float64)
+
+    # x_k = phi[k] + Gam[k] @ U  (affine in stacked controls U).
+    phi = np.zeros((N + 1, nx))
+    Gam = np.zeros((N + 1, nx, nU))
+    phi[0] = x0
+    for k in range(N):
+        phi[k + 1] = A[k] @ phi[k] + c[k]
+        Gam[k + 1] = A[k] @ Gam[k]
+        Gam[k + 1][:, k * nu : (k + 1) * nu] += B[k]
+
+    # w_k = [u_k; x_k] = wb[k] + Wm[k] @ U.
+    wb = np.zeros((N + 1, nz))
+    Wm = np.zeros((N + 1, nz, nU))
+    for k in range(N + 1):
+        wb[k, nu:] = phi[k]
+        Wm[k, nu:, :] = Gam[k]
+        if k < N:
+            Wm[k, :nu, k * nu : (k + 1) * nu] = np.eye(nu)
+
+    # Quadratic cost in U: 1/2 U^T P U + q^T U (+ const).
+    P = np.zeros((nU, nU))
+    qv = np.zeros(nU)
+    for k in range(N + 1):
+        HW = H[k] @ Wm[k]
+        P += Wm[k].T @ HW
+        qv += Wm[k].T @ (H[k] @ wb[k] + h[k])
+    P = 0.5 * (P + P.T)
+
+    fun = lambda U: 0.5 * U @ P @ U + qv @ U
+    jac = lambda U: P @ U + qv
+
+    constraints = []
+    nc = D.shape[1]
+    cone_rows = set()
+    for off, dim in cones:
+        cone_rows.update(range(off, off + dim))
+    if nc > 0:
+        # Stack all finite box rows as one LinearConstraint.
+        rows, lbs, ubs = [], [], []
+        for k in range(N + 1):
+            for i in range(nc):
+                if i in cone_rows:
+                    continue
+                if not np.any(D[k, i] != 0):
+                    continue
+                rows.append(D[k, i] @ Wm[k])
+                lbs.append(e_lb[k, i] - D[k, i] @ wb[k])
+                ubs.append(e_ub[k, i] - D[k, i] @ wb[k])
+        if rows:
+            constraints.append(sopt.LinearConstraint(
+                np.stack(rows), np.array(lbs), np.array(ubs)
+            ))
+        shift = (np.zeros((N + 1, nc)) if soc_shift is None
+                 else np.asarray(soc_shift, np.float64))
+        for off, dim in cones:
+            for k in range(N + 1):
+                if not np.any(D[k, off : off + dim] != 0):
+                    continue
+                Dk = D[k, off : off + dim]
+                bk = Dk @ wb[k] + shift[k, off : off + dim]
+                Mk = Dk @ Wm[k]
+
+                def cone_fun(U, Mk=Mk, bk=bk):
+                    v = Mk @ U + bk
+                    return v[0] - np.linalg.norm(v[1:])
+
+                constraints.append(sopt.NonlinearConstraint(
+                    cone_fun, 0.0, np.inf
+                ))
+
+    res = sopt.minimize(
+        fun, np.zeros(nU), jac=jac, method="trust-constr",
+        constraints=constraints,
+        options={"gtol": tol, "xtol": tol, "maxiter": maxiter},
+    )
+    U = res.x
+    ws = wb + np.einsum("kzu,u->kz", Wm, U)
+    ws[N, :nu] = 0.0
+    return ws
+
+
 def solve_kkt_dense(problem, it, sigma, x0, rho_dyn: float = 0.0):
     """Dense full-horizon KKT solve (independent witness).
 

@@ -1,0 +1,109 @@
+"""Parity: block-tridiagonal KKT backend vs oracles and Riccati.
+
+The reference's de-facto test runs QDLDL vs sequential Riccati on the
+same problem (examples/lqr_example.cpp:174-209); automated here, plus
+the rho_dyn-regularized variant against the dense KKT oracle.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pdp_lqr_tpu import init_iterates
+from pdp_lqr_tpu.models import quadrotor, random_lq
+from pdp_lqr_tpu.solvers import kkt, sequential
+from pdp_lqr_tpu.utils import oracle
+
+SIGMA = 1e-6
+RHO = 0.01
+
+
+def _x0(problem, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=problem.nx) * 0.1)
+
+
+def _random_iterates(problem, seed):
+    it = init_iterates(problem, rho=RHO)
+    rng = np.random.default_rng(seed)
+    return type(it)(
+        w=jnp.asarray(rng.normal(size=it.w.shape) * 0.1),
+        y=jnp.asarray(rng.normal(size=it.y.shape) * 0.1),
+        z=jnp.asarray(rng.normal(size=it.z.shape) * 0.1),
+        rho=it.rho,
+    )
+
+
+@pytest.mark.parametrize("nx,nu,N,nc,seed", [
+    (2, 1, 5, 0, 0),
+    (4, 2, 30, 0, 1),
+    (8, 3, 50, 2, 2),
+    (12, 4, 40, 5, 3),
+])
+def test_kkt_exact_matches_riccati(nx, nu, N, nc, seed):
+    """rho_dyn = 0: block-KKT == sequential Riccati (different algebra,
+    same system)."""
+    problem = random_lq(nx, nu, N, nc=nc, seed=seed)
+    it = _random_iterates(problem, seed + 50) if nc else init_iterates(problem, rho=RHO)
+    x0 = _x0(problem, seed)
+    ws_k, _ = jax.jit(kkt.solve, static_argnums=(3, 4))(
+        problem, it, x0, SIGMA, 0.0
+    )
+    ws_s, _ = sequential.solve(problem, it, x0, SIGMA)
+    np.testing.assert_allclose(np.asarray(ws_k), np.asarray(ws_s), atol=1e-9)
+
+
+def test_kkt_regularized_matches_dense_oracle():
+    """rho_dyn = 1e-6 (the reference's hardwired value) against the
+    dense KKT oracle with the same regularization."""
+    problem = random_lq(6, 3, 30, nc=3, seed=4)
+    it = _random_iterates(problem, 44)
+    x0 = _x0(problem, 4)
+    ws, _ = kkt.solve(problem, it, x0, SIGMA, 1e-6)
+    ws_ref = oracle.solve_kkt_dense(
+        problem, it, SIGMA, np.asarray(x0), rho_dyn=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(ws), ws_ref, atol=1e-8)
+
+
+def test_kkt_quadrotor_three_way():
+    """The reference example's three-way cross-check, automated."""
+    problem, _ = quadrotor(N=100)
+    it = init_iterates(problem, rho=RHO)
+    x0 = jnp.zeros(problem.nx)
+    ws_k, _ = kkt.solve(problem, it, x0, SIGMA, 1e-6)
+    ws_s, _ = sequential.solve(problem, it, x0, SIGMA)
+    ws_o = oracle.solve_kkt_dense(problem, it, SIGMA, np.zeros(problem.nx))
+    # rho_dyn=1e-6 perturbs at the 1e-6 scale — the reference accepts
+    # the same discrepancy between its QDLDL and Riccati paths.
+    np.testing.assert_allclose(np.asarray(ws_k), np.asarray(ws_s), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ws_s), ws_o, atol=1e-6)
+
+
+def test_kkt_cached_resolve():
+    """New iterates, cached numeric factor: matches a fresh solve."""
+    problem = random_lq(5, 2, 20, nc=2, seed=9)
+    it = init_iterates(problem, rho=RHO)
+    x0 = _x0(problem, 9)
+    _, factors = kkt.solve(problem, it, x0, SIGMA, 1e-6)
+    it2 = _random_iterates(problem, 10)
+    ws_fast, _ = kkt.resolve(problem, it2, x0, SIGMA, factors)
+    ws_full, _ = kkt.solve(problem, it2, x0, SIGMA, 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ws_fast), np.asarray(ws_full), atol=1e-11
+    )
+
+
+def test_kkt_vmap_batching():
+    problems = [random_lq(4, 2, 12, nc=2, seed=s) for s in range(3)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *problems)
+    its = jax.vmap(lambda p: init_iterates(p, rho=RHO))(stacked)
+    x0s = jnp.stack([_x0(p, s) for s, p in enumerate(problems)])
+    ws_b, _ = kkt.solve_batched(stacked, its, x0s, SIGMA, 1e-6)
+    for i, p in enumerate(problems):
+        it = jax.tree.map(lambda x: x[i], its)
+        ws_i, _ = kkt.solve(p, it, x0s[i], SIGMA, 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(ws_b[i]), np.asarray(ws_i), atol=1e-12
+        )
