@@ -30,7 +30,7 @@ def main():
     ap.add_argument("--horizon", type=int, default=512)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--solver", default="auto",
-                    choices=["auto", "seq", "pdp", "assoc"])
+                    choices=["auto", "seq", "pdp", "assoc", "dense", "pallas"])
     args = ap.parse_args()
 
     backend = jax.default_backend()
@@ -44,9 +44,23 @@ def main():
 
     solver_name = args.solver
     if solver_name == "auto":
-        solver_name = "seq"
+        # Fused Pallas kernels need lane-aligned batches on hardware.
+        solver_name = "pallas" if (not on_cpu and B % 128 == 0) else "dense"
 
-    if solver_name == "seq":
+    if solver_name == "pallas":
+        from pdp_lqr_tpu.ops import pallas_riccati
+
+        def step(problem, its, x0):
+            return pallas_riccati.solve_lanes(
+                problem, its, x0, 1e-6, interpret=on_cpu
+            )
+    elif solver_name == "dense":
+        from pdp_lqr_tpu.solvers import dense
+
+        def step(problem, its, x0):
+            ws, _ = dense.solve_batched(problem, its, x0, 1e-6)
+            return ws
+    elif solver_name == "seq":
         from pdp_lqr_tpu.solvers import sequential
 
         def step(problem, its, x0):

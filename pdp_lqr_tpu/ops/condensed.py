@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
+from pdp_lqr_tpu.config import f32_matmul_precision
 from pdp_lqr_tpu.ops import linalg
 
 
@@ -57,6 +58,7 @@ class CholeskyCondensedFactors:
     A: jax.Array       # (S, nx, nx) original segment transitions
 
 
+@f32_matmul_precision
 def cholesky_backward(P, A, C) -> CholeskyCondensedFactors:
     """Reference: CondensedSystemCholeskySolver::backward
     (condensed_system.hpp:203-250).
@@ -103,6 +105,7 @@ def cholesky_backward(P, A, C) -> CholeskyCondensedFactors:
     )
 
 
+@f32_matmul_precision
 def cholesky_forward(fac: CholeskyCondensedFactors, p, c, x0):
     """Reference: CondensedSystemCholeskySolver::forward
     (condensed_system.hpp:252-290).  Returns (xhat, uhat), each (S, nx);
@@ -151,6 +154,7 @@ class LUCondensedFactors:
     C: jax.Array
 
 
+@f32_matmul_precision
 def lu_backward(P, A, C) -> LUCondensedFactors:
     """Reference: CondensedSystemLUSolver::backward
     (condensed_system.hpp:82-103):
@@ -182,6 +186,7 @@ def lu_backward(P, A, C) -> LUCondensedFactors:
     )
 
 
+@f32_matmul_precision
 def lu_forward(fac: LUCondensedFactors, p, c, x0):
     """Reference: CondensedSystemLUSolver::forward
     (condensed_system.hpp:105-138).  Returns (xhat, uhat)."""

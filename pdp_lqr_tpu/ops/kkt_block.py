@@ -50,6 +50,7 @@ import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
+from pdp_lqr_tpu.config import f32_matmul_precision
 from pdp_lqr_tpu.ops import riccati
 from pdp_lqr_tpu.problem import LQRProblem, StageParams
 
@@ -149,6 +150,7 @@ def build_rhs(problem: LQRProblem, params: StageParams, rho, x0):
     return rhs
 
 
+@f32_matmul_precision
 def factorize(D, E) -> KKTFactors:
     """Block-Thomas factor sweep (the batched LDL^T numeric factor).
 
@@ -174,6 +176,7 @@ def factorize(D, E) -> KKTFactors:
     return KKTFactors(Slu=Slu, Spiv=Spiv, U=Us, E=E)
 
 
+@f32_matmul_precision
 def solve_cached(fac: KKTFactors, rhs):
     """Forward + backward substitution with cached factors.
 

@@ -59,3 +59,67 @@ def spd_inverse_from_chol(L: jax.Array) -> jax.Array:
     eye = jnp.eye(L.shape[-1], dtype=L.dtype)
     eye = jnp.broadcast_to(eye, L.shape)
     return chol_solve(L, eye)
+
+
+def cholesky_unrolled(M: jax.Array) -> jax.Array:
+    """Lower Cholesky of a small SPD matrix, fully scalar-unrolled.
+
+    XLA's TPU lowering of cholesky/triangular_solve on tiny batched
+    matrices is loop-based and dominates the Riccati scan's runtime;
+    for small n (<= ~8) an unrolled factorization compiles to
+    straight-line VPU arithmetic over the batch — no loops, no dynamic
+    slices.  n is static (Python), so the unroll emits ~n^3/6 vector
+    ops of width = batch.
+
+    M: (..., n, n) SPD.  Returns (..., n, n) lower-triangular L.
+    """
+    n = M.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = M[..., j, j]
+        for t in range(j):
+            s = s - L[j][t] * L[j][t]
+        L[j][j] = jnp.sqrt(s)
+        inv_ljj = 1.0 / L[j][j]
+        for i in range(j + 1, n):
+            s = M[..., i, j]
+            for t in range(j):
+                s = s - L[i][t] * L[j][t]
+            L[i][j] = s * inv_ljj
+    zero = jnp.zeros_like(L[0][0])
+    rows = [
+        jnp.stack([L[i][j] if j <= i else zero for j in range(n)], axis=-1)
+        for i in range(n)
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
+def chol_solve_unrolled(L: jax.Array, Bmat: jax.Array) -> jax.Array:
+    """Solve (L L^T) X = B with unrolled forward/back substitution.
+
+    L: (..., n, n) lower;  Bmat: (..., n, k).  Returns (..., n, k).
+    """
+    n = L.shape[-1]
+    k = Bmat.shape[-1]
+    inv_diag = [1.0 / L[..., i, i] for i in range(n)]
+    cols = []
+    for c in range(k):
+        y = [None] * n
+        for i in range(n):
+            s = Bmat[..., i, c]
+            for t in range(i):
+                s = s - L[..., i, t] * y[t]
+            y[i] = s * inv_diag[i]
+        x = [None] * n
+        for i in range(n - 1, -1, -1):
+            s = y[i]
+            for t in range(i + 1, n):
+                s = s - L[..., t, i] * x[t]
+            x[i] = s * inv_diag[i]
+        cols.append(jnp.stack(x, axis=-1))
+    return jnp.stack(cols, axis=-1)
+
+
+def spd_solve_unrolled(M: jax.Array, Bmat: jax.Array) -> jax.Array:
+    """Solve M X = B for small SPD M (unrolled Cholesky + substitution)."""
+    return chol_solve_unrolled(cholesky_unrolled(M), Bmat)

@@ -1,0 +1,383 @@
+"""Fused Pallas Riccati kernels — batch-in-lanes, speed-of-light path.
+
+Why this exists: the XLA lowering of the Riccati scan is bounded by two
+TPU pathologies measured on the v5e bench:
+
+  1. Layout: stacked stage tensors shaped (B, N, nz, nz) put tiny
+     matrix dims in the (sublane, lane) tile — a (16, 16) trailing
+     block pads to (16, 128), an 8x HBM blow-up, and the per-step
+     batched cholesky/triangular_solve lower to sequential loops.
+  2. Dispatch shape: per-step ops on (B, 16, 16) operands leave the
+     VPU idle while XLA shuffles layouts between them.
+
+This module flips the layout: every tensor carries the batch as the
+*minor* (lane) dimension — A is (N, nx, nx, B) — so tiles are
+(matrix-dim, batch): dense in HBM (B % 128 == 0), and every matrix
+operation becomes a short, fully-unrolled sequence of broadcast
+FMAs over (rows, B) vector tiles.  One Pallas kernel runs the whole
+backward recursion with the (P, p) carry resident in VMEM scratch,
+streaming stage data HBM->VMEM with the grid pipeline; a second kernel
+runs the closed-loop rollout.  The math is the dense P-form of
+ops/riccati_dense.py (reference equations lqr_kernel.hpp:103-147,
+reorganized; see that module's docstring for the recursion).
+
+Constraint penalty folding (lqr_kernel.hpp:106-112) happens inside the
+kernel from (D, rho, rho*g) stage blocks, so the folded Hessian never
+materializes in HBM.
+
+All kernels are f32 (TPU native); parity vs the f64 jnp backends is
+pinned by tests/test_pallas.py at f32 tolerance.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# --------------------------------------------------------------- lane algebra
+# Value-level helpers on (m, n, B) / (n, B) arrays inside a kernel.
+# Python loops are over *static* matrix dims (<= ~40), emitting
+# broadcast VPU ops of shape (rows, B).
+
+def _mm(X, Y):
+    """(m, n, B) @ (n, p, B) -> (m, p, B), lane-batched."""
+    m, n, _ = X.shape
+    rows = []
+    for i in range(m):
+        acc = X[i, 0][None, :] * Y[0]
+        for j in range(1, n):
+            acc = acc + X[i, j][None, :] * Y[j]
+        rows.append(acc)
+    return jnp.stack(rows, axis=0)
+
+
+def _mtm(X, Y):
+    """X^T Y: (k, m, B), (k, p, B) -> (m, p, B), lane-batched."""
+    k, m, _ = X.shape
+    rows = []
+    for i in range(m):
+        acc = X[0, i][None, :] * Y[0]
+        for j in range(1, k):
+            acc = acc + X[j, i][None, :] * Y[j]
+        rows.append(acc)
+    return jnp.stack(rows, axis=0)
+
+
+def _mv(X, v):
+    """(m, n, B) @ (n, B) -> (m, B)."""
+    m, n, _ = X.shape
+    rows = []
+    for i in range(m):
+        acc = X[i, 0] * v[0]
+        for j in range(1, n):
+            acc = acc + X[i, j] * v[j]
+        rows.append(acc)
+    return jnp.stack(rows, axis=0)
+
+
+def _mtv(X, v):
+    """X^T v: (n, m, B), (n, B) -> (m, B)."""
+    n, m, _ = X.shape
+    rows = []
+    for i in range(m):
+        acc = X[0, i] * v[0]
+        for j in range(1, n):
+            acc = acc + X[j, i] * v[j]
+        rows.append(acc)
+    return jnp.stack(rows, axis=0)
+
+
+def _chol_lanes(M):
+    """Unrolled lane-batched Cholesky of (n, n, B); returns list-of-lists."""
+    n = M.shape[0]
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = M[j, j]
+        for t in range(j):
+            s = s - L[j][t] * L[j][t]
+        L[j][j] = jnp.sqrt(s)
+        inv = 1.0 / L[j][j]
+        for i in range(j + 1, n):
+            s = M[i, j]
+            for t in range(j):
+                s = s - L[i][t] * L[j][t]
+            L[i][j] = s * inv
+    return L
+
+
+def _chol_solve_lanes(L, b_rows):
+    """Solve (L L^T) x = b for one rhs given as list of n (B,) rows."""
+    n = len(L)
+    y = [None] * n
+    for i in range(n):
+        s = b_rows[i]
+        for t in range(i):
+            s = s - L[i][t] * y[t]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in range(n - 1, -1, -1):
+        s = y[i]
+        for t in range(i + 1, n):
+            s = s - L[t][i] * x[t]
+        x[i] = s / L[i][i]
+    return x
+
+
+# ------------------------------------------------------------ backward kernel
+
+def _backward_kernel(nu, nx, nc,
+                     A_ref, B_ref, c_ref, H_ref, h_ref, D_ref, rho_ref,
+                     rg_ref, PN_ref, pN_ref,
+                     K_ref, d_ref, M_ref, v_ref, P_scr, p_scr):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        P_scr[:] = PN_ref[:]
+        p_scr[:] = pN_ref[:]
+
+    A = A_ref[0]
+    Bm = B_ref[0]
+    c = c_ref[0]
+    H = H_ref[0]
+    h = h_ref[0]
+
+    # Penalty fold (lqr_kernel.hpp:106-112), in-register:
+    #   H += sum_c rho_c D_c D_c^T ;  h -= sum_c (rho_c g_c) D_c
+    if nc > 0:
+        D = D_ref[0]
+        rho = rho_ref[0]
+        rg = rg_ref[0]
+        for ci in range(nc):
+            w = rho[ci] * D[ci]              # (nz, B)
+            rows = []
+            for i in range(H.shape[0]):
+                rows.append(H[i] + D[ci, i][None, :] * w)
+            H = jnp.stack(rows, axis=0)
+            h = h - rg[ci][None, :] * D[ci]
+
+    R = H[:nu, :nu]
+    S = H[:nu, nu:]
+    Q = H[nu:, nu:]
+    r = h[:nu]
+    q = h[nu:]
+
+    P = P_scr[:]
+    p = p_scr[:]
+
+    PA = _mm(P, A)                    # (nx, nx, B)
+    PB = _mm(P, Bm)                   # (nx, nu, B)
+    Pcp = _mv(P, c) + p               # (nx, B)
+
+    G = S + _mtm(Bm, PA)              # (nu, nx, B)
+    Huu = R + _mtm(Bm, PB)            # (nu, nu, B)
+    rbar = r + _mtv(Bm, Pcp)          # (nu, B)
+
+    L = _chol_lanes(Huu)
+    # K = -Huu^{-1} G column-by-column; d = -Huu^{-1} rbar.
+    Kcols = []
+    for jcol in range(nx):
+        x = _chol_solve_lanes(L, [G[i, jcol] for i in range(nu)])
+        Kcols.append(jnp.stack(x, axis=0))      # (nu, B)
+    K = -jnp.stack(Kcols, axis=1)               # (nu, nx, B)
+    d = -jnp.stack(_chol_solve_lanes(L, [rbar[i] for i in range(nu)]), axis=0)
+
+    Pn = Q + _mtm(A, PA) + _mtm(G, K)
+    Pn = 0.5 * (Pn + jnp.swapaxes(Pn, 0, 1))
+    pn = q + _mtv(A, Pcp) + _mtv(K, rbar)
+
+    K_ref[0] = K
+    d_ref[0] = d
+    M_ref[0] = A + _mm(Bm, K)
+    v_ref[0] = _mv(Bm, d) + c
+    P_scr[:] = Pn
+    p_scr[:] = pn
+
+
+def backward_lanes(A, B, c, H, h, D, rho, rg, PN, pN, *, interpret=False):
+    """Fused backward sweep; all arrays batch-last (see module doc).
+
+    A (N,nx,nx,B), B (N,nx,nu,B), c (N,nx,B), H (N,nz,nz,B),
+    h (N,nz,B), D (N,nc,nz,B), rho/rg (N,nc,B), PN (nx,nx,B), pN (nx,B)
+    — H/h/D/rho/rg are the non-terminal stage rows; PN/pN is the
+    already-folded terminal cost-to-go.
+
+    Returns (K, d, M, v): gains and closed-loop maps per stage.
+    """
+    N, nx, _, Bt = A.shape
+    nu = B.shape[2]
+    nz = nx + nu
+    nc = D.shape[1]
+    dt = A.dtype
+
+    if nc == 0:
+        # Pallas blocks cannot be zero-sized; stream one dummy row
+        # (statically skipped by the kernel via its nc argument).
+        D = jnp.zeros((N, 1, nz, Bt), dt)
+        rho = jnp.zeros((N, 1, Bt), dt)
+        rg = jnp.zeros((N, 1, Bt), dt)
+
+    stage = lambda *dims: pl.BlockSpec(
+        (1,) + dims, lambda t: (N - 1 - t,) + (0,) * len(dims),
+        memory_space=pltpu.VMEM,
+    )
+    whole = lambda *dims: pl.BlockSpec(
+        dims, lambda t: (0,) * len(dims), memory_space=pltpu.VMEM,
+    )
+
+    kernel = functools.partial(_backward_kernel, nu, nx, nc)
+    out_shape = (
+        jax.ShapeDtypeStruct((N, nu, nx, Bt), dt),   # K
+        jax.ShapeDtypeStruct((N, nu, Bt), dt),       # d
+        jax.ShapeDtypeStruct((N, nx, nx, Bt), dt),   # M = A + B K
+        jax.ShapeDtypeStruct((N, nx, Bt), dt),       # v = B d + c
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(N,),
+        in_specs=[
+            stage(nx, nx, Bt), stage(nx, nu, Bt), stage(nx, Bt),
+            stage(nz, nz, Bt), stage(nz, Bt),
+            stage(max(nc, 1), nz, Bt), stage(max(nc, 1), Bt),
+            stage(max(nc, 1), Bt),
+            whole(nx, nx, Bt), whole(nx, Bt),
+        ],
+        out_specs=(
+            stage(nu, nx, Bt), stage(nu, Bt),
+            stage(nx, nx, Bt), stage(nx, Bt),
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((nx, nx, Bt), dt),
+            pltpu.VMEM((nx, Bt), dt),
+        ],
+        interpret=interpret,
+    )(A, B, c, H, h, D, rho, rg, PN, pN)
+
+
+# ------------------------------------------------------------- forward kernel
+
+def _forward_kernel(nu, nx,
+                    M_ref, v_ref, K_ref, d_ref, x0_ref,
+                    ws_ref, xN_ref, x_scr):
+    t = pl.program_id(0)
+    n_total = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        x_scr[:] = x0_ref[:]
+
+    x = x_scr[:]
+    K = K_ref[0]
+    d = d_ref[0]
+    u = _mv(K, x) + d
+    ws_ref[0] = jnp.concatenate([u, x], axis=0)
+    x_next = _mv(M_ref[0], x) + v_ref[0]
+    x_scr[:] = x_next
+
+    @pl.when(t == n_total - 1)
+    def _():
+        xN_ref[:] = x_next
+
+
+def forward_lanes(M, v, K, d, x0, *, interpret=False):
+    """Closed-loop rollout; returns (ws (N, nz, B), xN (nx, B))."""
+    N, nx, _, Bt = M.shape
+    nu = K.shape[1]
+    nz = nx + nu
+    dt = M.dtype
+
+    stage = lambda *dims: pl.BlockSpec(
+        (1,) + dims, lambda t: (t,) + (0,) * len(dims),
+        memory_space=pltpu.VMEM,
+    )
+    whole = lambda *dims: pl.BlockSpec(
+        dims, lambda t: (0,) * len(dims), memory_space=pltpu.VMEM,
+    )
+
+    kernel = functools.partial(_forward_kernel, nu, nx)
+    return pl.pallas_call(
+        kernel,
+        grid=(N,),
+        in_specs=[
+            stage(nx, nx, Bt), stage(nx, Bt),
+            stage(nu, nx, Bt), stage(nu, Bt),
+            whole(nx, Bt),
+        ],
+        out_specs=(stage(nz, Bt), whole(nx, Bt)),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, nz, Bt), dt),
+            jax.ShapeDtypeStruct((nx, Bt), dt),
+        ),
+        scratch_shapes=[pltpu.VMEM((nx, Bt), dt)],
+        interpret=interpret,
+    )(M, v, K, d, x0)
+
+
+# -------------------------------------------------------------- high-level API
+
+def to_lanes(x):
+    """(B, N, ...) -> (N, ..., B): stage-major, batch-in-lanes."""
+    return jnp.moveaxis(x, 0, -1)
+
+
+def from_lanes(x):
+    """(N, ..., B) -> (B, N, ...)."""
+    return jnp.moveaxis(x, -1, 0)
+
+
+def solve_lanes(problem, it, x0, sigma: float, *, interpret=False):
+    """Full batched solve through the fused kernels.
+
+    problem/it: standard batched pytrees with LEADING batch axis B
+    (B % 128 == 0 on hardware; any B in interpret mode); x0 (B, nx).
+    Returns ws (B, N+1, nz) like every other backend.
+
+    The one-time layout transposes in/out of lanes are amortized over
+    the scan; data generated natively in lanes layout can call
+    backward_lanes/forward_lanes directly and skip them.
+    """
+    from pdp_lqr_tpu.problem import make_stage_params
+
+    nu, nx = problem.nu, problem.nx
+    params = jax.vmap(lambda p, i: make_stage_params(p, i, sigma))(problem, it)
+
+    A = to_lanes(problem.A)
+    B = to_lanes(problem.B)
+    c = to_lanes(problem.c)
+    H = to_lanes(params.H[:, :-1])
+    h = to_lanes(params.h[:, :-1])
+    D = to_lanes(problem.D[:, :-1])
+    rho = to_lanes(it.rho[:, :-1])
+    rg = to_lanes(it.rho[:, :-1] * params.g[:, :-1])
+
+    # Terminal fold (tiny, stays in jnp): P_N = Hxx~ + Dx^T rho Dx.
+    HN = params.H[:, -1, nu:, nu:]
+    hN = params.h[:, -1, nu:]
+    DN = problem.D[:, -1, :, nu:]
+    rhoN = it.rho[:, -1]
+    gN = params.g[:, -1]
+    if problem.nc > 0:
+        HN = HN + jnp.einsum("bci,bc,bcj->bij", DN, rhoN, DN)
+        hN = hN - jnp.einsum("bci,bc->bi", DN, rhoN * gN)
+    PN = jnp.moveaxis(HN, 0, -1)
+    pN = jnp.moveaxis(hN, 0, -1)
+
+    K, d, M, v = backward_lanes(
+        A, B, c, H, h, D, rho, rg, PN, pN, interpret=interpret
+    )
+    ws, xN = forward_lanes(M, v, K, d, jnp.moveaxis(x0, 0, -1),
+                           interpret=interpret)
+
+    ws = from_lanes(ws)                          # (B, N, nz)
+    xN = jnp.moveaxis(xN, -1, 0)                 # (B, nx)
+    wN = jnp.concatenate(
+        [jnp.zeros(xN.shape[:-1] + (nu,), ws.dtype), xN], axis=-1
+    )
+    return jnp.concatenate([ws, wN[:, None, :]], axis=1)

@@ -29,6 +29,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from pdp_lqr_tpu.config import f32_matmul_precision
 from pdp_lqr_tpu.ops import linalg
 from pdp_lqr_tpu.problem import LQRProblem, StageParams
 
@@ -153,6 +154,7 @@ def backward_step_folded(carry, stage):
     return (L[nu:, nu:], p), (L, lp)
 
 
+@f32_matmul_precision
 def backward(problem: LQRProblem, params: StageParams, rho) -> RiccatiFactors:
     """Full backward sweep with factorization.
 
@@ -172,6 +174,7 @@ def backward(problem: LQRProblem, params: StageParams, rho) -> RiccatiFactors:
     return RiccatiFactors(L=L, lp=lp, LxxN=LxxN, pN=pN)
 
 
+@f32_matmul_precision
 def backward_no_refactor(
     problem: LQRProblem, params: StageParams, rho, factors: RiccatiFactors
 ) -> RiccatiFactors:
@@ -203,6 +206,7 @@ def backward_no_refactor(
     return RiccatiFactors(L=factors.L, lp=lp, LxxN=factors.LxxN, pN=pN)
 
 
+@f32_matmul_precision
 def forward(problem: LQRProblem, factors: RiccatiFactors, x0) -> jax.Array:
     """Forward rollout: u_k = -Luu^{-T}(lu + Lxu^T x_k); x_{k+1} = A x + B u + c.
 
@@ -228,6 +232,7 @@ def forward(problem: LQRProblem, factors: RiccatiFactors, x0) -> jax.Array:
     return jnp.concatenate([ws, wN[None]], axis=0)
 
 
+@f32_matmul_precision
 def costates(problem: LQRProblem, params: StageParams, rho, ws) -> jax.Array:
     """Dynamics multipliers lambda_1..N via the adjoint recursion.
 

@@ -47,6 +47,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from pdp_lqr_tpu.config import f32_matmul_precision
 from pdp_lqr_tpu.ops import linalg, riccati
 from pdp_lqr_tpu.problem import LQRProblem, StageParams
 
@@ -136,6 +137,7 @@ def combine(e_early, e_late):
     return A3, b3, C3, n3, J3
 
 
+@f32_matmul_precision
 def cost_to_go(problem: LQRProblem, params: StageParams, rho):
     """All cost-to-go pairs (P_k, p_k), k = 0..N, in O(log N) depth."""
     elems = leaf_elements(problem, params, rho)
@@ -148,6 +150,7 @@ def cost_to_go(problem: LQRProblem, params: StageParams, rho):
     return J, -eta
 
 
+@f32_matmul_precision
 def backward(problem: LQRProblem, params: StageParams, rho) -> riccati.RiccatiFactors:
     """Log-depth backward pass producing sequential-layout factors.
 
@@ -178,6 +181,7 @@ def backward(problem: LQRProblem, params: StageParams, rho) -> riccati.RiccatiFa
     return riccati.RiccatiFactors(L=L, lp=lp, LxxN=LxxN, pN=h[-1, nu:])
 
 
+@f32_matmul_precision
 def forward(problem: LQRProblem, factors: riccati.RiccatiFactors, x0):
     """Log-depth forward rollout as a prefix scan over affine maps.
 
@@ -214,6 +218,7 @@ def forward(problem: LQRProblem, factors: riccati.RiccatiFactors, x0):
     return jnp.concatenate([ws, wN[None]], axis=0)
 
 
+@f32_matmul_precision
 def backward_no_refactor(
     problem: LQRProblem, params: StageParams, rho, factors: riccati.RiccatiFactors
 ) -> riccati.RiccatiFactors:

@@ -39,6 +39,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
+from pdp_lqr_tpu.config import f32_matmul_precision
 from pdp_lqr_tpu.ops import linalg, riccati
 from pdp_lqr_tpu.problem import LQRProblem, StageParams
 
@@ -102,6 +103,7 @@ def _segment_backward_step(carry, stage):
     return (Lxx, p, F, C, f), (L, lp, G, F_next)
 
 
+@f32_matmul_precision
 def segment_reduction(problem: LQRProblem, params: StageParams, rho,
                       num_segments: int):
     """Run the per-segment backward reductions (vmapped over segments).
@@ -152,6 +154,7 @@ def segment_reduction(problem: LQRProblem, params: StageParams, rho,
     return L, lp, G, Fnext, P0, F0, C0, p0, f0, (LxxN, pN)
 
 
+@f32_matmul_precision
 def segment_reduction_no_refactor(
     problem: LQRProblem, params: StageParams, rho, factors: "PDPFactors"
 ):
@@ -212,6 +215,7 @@ def segment_reduction_no_refactor(
     return lp, p0, f0, pN
 
 
+@f32_matmul_precision
 def segment_rollout(problem: LQRProblem, L, lp, G, xhat, uhat):
     """Parallel forward rollout of all segments.
 

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from pdp_lqr_tpu.config import CondensedSolverType
+from pdp_lqr_tpu.config import CondensedSolverType, f32_matmul_precision
 from pdp_lqr_tpu.ops import condensed, riccati, riccati_pdp
 from pdp_lqr_tpu.problem import ADMMIterates, LQRProblem, make_stage_params
 
@@ -44,6 +44,7 @@ _CACHE: dict = {}
 def _build(mesh: Mesh, solver_type: CondensedSolverType, nu: int):
     S = mesh.shape["time"]
 
+    @f32_matmul_precision
     def body(A, B, c, H, h, D, rho, g, HN, hN, DN, rhoN, gN, x0):
         # Local shapes: stage args (Bl, Nseg, ...); terminal args (Bl, ...).
         i = jax.lax.axis_index("time")

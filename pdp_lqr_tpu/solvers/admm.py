@@ -98,6 +98,10 @@ def _backend(settings: ADMMSettings):
         from pdp_lqr_tpu.solvers import assoc as be
 
         return be.solve, be.resolve
+    if name == "dense":
+        from pdp_lqr_tpu.solvers import dense as be
+
+        return be.solve, be.resolve
     if name == "kkt":
         from pdp_lqr_tpu.solvers import kkt as be
 

@@ -1,0 +1,59 @@
+"""Pallas fused-kernel parity (interpret mode on CPU, f64 strict).
+
+On hardware the same kernels are validated by bench.py's finite-ness
+check and were cross-checked against the dense backend at full matmul
+precision (5.8e-6 in f32); here interpret mode pins the math exactly.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pdp_lqr_tpu import init_iterates
+from pdp_lqr_tpu.models import quadrotor, random_lq
+from pdp_lqr_tpu.ops import pallas_riccati
+from pdp_lqr_tpu.solvers import dense, sequential
+
+SIGMA = 1e-6
+
+
+def _batch(problem, B, seed=0):
+    rng = np.random.default_rng(seed)
+    tile = lambda x: jnp.broadcast_to(x, (B,) + x.shape)
+    bp = jax.tree.map(tile, problem)
+    bp = dataclasses.replace(
+        bp, c=bp.c + jnp.asarray(rng.normal(size=bp.c.shape) * 0.01, bp.c.dtype)
+    )
+    its = jax.vmap(lambda p: init_iterates(p, rho=0.01))(bp)
+    x0 = jnp.asarray(rng.normal(size=(B, problem.nx)) * 0.1, bp.c.dtype)
+    return bp, its, x0
+
+
+@pytest.mark.parametrize("constrained", [False, True])
+def test_pallas_matches_dense_quadrotor(constrained):
+    problem, _ = quadrotor(N=12, constrained=constrained)
+    bp, its, x0 = _batch(problem, B=4)
+    ws_p = pallas_riccati.solve_lanes(bp, its, x0, SIGMA, interpret=True)
+    ws_d, _ = dense.solve_batched(bp, its, x0, SIGMA)
+    np.testing.assert_allclose(
+        np.asarray(ws_p), np.asarray(ws_d), atol=1e-10
+    )
+
+
+def test_pallas_matches_sequential_random():
+    problem = random_lq(5, 3, 9, nc=2, seed=1)
+    bp, its, x0 = _batch(problem, B=3, seed=1)
+    ws_p = pallas_riccati.solve_lanes(bp, its, x0, SIGMA, interpret=True)
+    ws_s, _ = sequential.solve_batched(bp, its, x0, SIGMA)
+    np.testing.assert_allclose(
+        np.asarray(ws_p), np.asarray(ws_s), atol=1e-9
+    )
+
+
+def test_lanes_roundtrip():
+    x = jnp.arange(24.0).reshape(2, 3, 4)
+    y = pallas_riccati.from_lanes(pallas_riccati.to_lanes(x))
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
