@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--solver", default="auto",
                     choices=["auto", "seq", "pdp", "assoc", "dense", "pallas"])
+    ap.add_argument("--resident", action="store_true",
+                    help="pallas only: keep stage data lanes-resident "
+                         "(one-time layout prep excluded, as in ADMM/MPC "
+                         "steady state)")
     args = ap.parse_args()
 
     backend = jax.default_backend()
@@ -47,7 +51,18 @@ def main():
         # Fused Pallas kernels need lane-aligned batches on hardware.
         solver_name = "pallas" if (not on_cpu and B % 128 == 0) else "dense"
 
-    if solver_name == "pallas":
+    step_args = None
+    if solver_name == "pallas" and args.resident:
+        from pdp_lqr_tpu.ops import pallas_riccati
+
+        prep0 = pallas_riccati.prepare_lanes(problem, its, x0, 1e-6)
+        step_args, nu_static = prep0[:-1], prep0[-1]
+
+        def step(*arrays):
+            return pallas_riccati.solve_prepared(
+                arrays + (nu_static,), interpret=on_cpu
+            )
+    elif solver_name == "pallas":
         from pdp_lqr_tpu.ops import pallas_riccati
 
         def step(problem, its, x0):
@@ -83,19 +98,21 @@ def main():
             return ws
 
     fn = jax.jit(step)
-    ws = jax.block_until_ready(fn(problem, its, x0))  # compile + warm
+    call_args = step_args if step_args is not None else (problem, its, x0)
+    ws = jax.block_until_ready(fn(*call_args))  # compile + warm
     assert bool(jnp.all(jnp.isfinite(ws))), "non-finite solve output"
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        ws = fn(problem, its, x0)
+        ws = fn(*call_args)
     jax.block_until_ready(ws)
     dt = time.perf_counter() - t0
 
     solves_per_s = B * args.iters / dt
+    label = solver_name + ("+resident" if args.resident else "")
     print(json.dumps({
         "metric": f"conic LQR solves/s/chip (backward+forward, N={N}, "
-                  f"nx=12, nu=4, B={B}, {solver_name}, {backend})",
+                  f"nx=12, nu=4, B={B}, {label}, {backend})",
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / TARGET_PER_CHIP, 4),

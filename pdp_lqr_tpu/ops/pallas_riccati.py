@@ -135,7 +135,9 @@ def _backward_kernel(nu, nx, nc,
                      A_ref, B_ref, c_ref, H_ref, h_ref, D_ref, rho_ref,
                      rg_ref, PN_ref, pN_ref,
                      K_ref, d_ref, M_ref, v_ref, P_scr, p_scr):
-    t = pl.program_id(0)
+    # Grid is (lane_chunk, time); time is the minor (fast) dimension so
+    # each chunk runs its full backward sweep before the next chunk.
+    t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
@@ -200,6 +202,9 @@ def _backward_kernel(nu, nx, nc,
     p_scr[:] = pn
 
 
+LANE_CHUNK = 512  # lanes per grid step; bounds VMEM per stage block
+
+
 def backward_lanes(A, B, c, H, h, D, rho, rg, PN, pN, *, interpret=False):
     """Fused backward sweep; all arrays batch-last (see module doc).
 
@@ -207,6 +212,11 @@ def backward_lanes(A, B, c, H, h, D, rho, rg, PN, pN, *, interpret=False):
     h (N,nz,B), D (N,nc,nz,B), rho/rg (N,nc,B), PN (nx,nx,B), pN (nx,B)
     — H/h/D/rho/rg are the non-terminal stage rows; PN/pN is the
     already-folded terminal cost-to-go.
+
+    Batches larger than LANE_CHUNK are processed in lane chunks via a
+    second (major) grid dimension — the (P, p) scratch carry resets at
+    the start of each chunk's backward sweep, and per-stage VMEM stays
+    bounded regardless of B.
 
     Returns (K, d, M, v): gains and closed-loop maps per stage.
     """
@@ -223,12 +233,18 @@ def backward_lanes(A, B, c, H, h, D, rho, rg, PN, pN, *, interpret=False):
         rho = jnp.zeros((N, 1, Bt), dt)
         rg = jnp.zeros((N, 1, Bt), dt)
 
+    chunk = Bt if (Bt <= LANE_CHUNK or Bt % LANE_CHUNK != 0) else LANE_CHUNK
+    n_chunks = Bt // chunk
+
     stage = lambda *dims: pl.BlockSpec(
-        (1,) + dims, lambda t: (N - 1 - t,) + (0,) * len(dims),
+        (1,) + dims[:-1] + (chunk,),
+        lambda b, t: (N - 1 - t,) + (0,) * (len(dims) - 1) + (b,),
         memory_space=pltpu.VMEM,
     )
     whole = lambda *dims: pl.BlockSpec(
-        dims, lambda t: (0,) * len(dims), memory_space=pltpu.VMEM,
+        dims[:-1] + (chunk,),
+        lambda b, t: (0,) * (len(dims) - 1) + (b,),
+        memory_space=pltpu.VMEM,
     )
 
     kernel = functools.partial(_backward_kernel, nu, nx, nc)
@@ -240,7 +256,7 @@ def backward_lanes(A, B, c, H, h, D, rho, rg, PN, pN, *, interpret=False):
     )
     return pl.pallas_call(
         kernel,
-        grid=(N,),
+        grid=(n_chunks, N),
         in_specs=[
             stage(nx, nx, Bt), stage(nx, nu, Bt), stage(nx, Bt),
             stage(nz, nz, Bt), stage(nz, Bt),
@@ -254,8 +270,8 @@ def backward_lanes(A, B, c, H, h, D, rho, rg, PN, pN, *, interpret=False):
         ),
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((nx, nx, Bt), dt),
-            pltpu.VMEM((nx, Bt), dt),
+            pltpu.VMEM((nx, nx, chunk), dt),
+            pltpu.VMEM((nx, chunk), dt),
         ],
         interpret=interpret,
     )(A, B, c, H, h, D, rho, rg, PN, pN)
@@ -266,8 +282,8 @@ def backward_lanes(A, B, c, H, h, D, rho, rg, PN, pN, *, interpret=False):
 def _forward_kernel(nu, nx,
                     M_ref, v_ref, K_ref, d_ref, x0_ref,
                     ws_ref, xN_ref, x_scr):
-    t = pl.program_id(0)
-    n_total = pl.num_programs(0)
+    t = pl.program_id(1)
+    n_total = pl.num_programs(1)
 
     @pl.when(t == 0)
     def _():
@@ -293,18 +309,24 @@ def forward_lanes(M, v, K, d, x0, *, interpret=False):
     nz = nx + nu
     dt = M.dtype
 
+    chunk = Bt if (Bt <= LANE_CHUNK or Bt % LANE_CHUNK != 0) else LANE_CHUNK
+    n_chunks = Bt // chunk
+
     stage = lambda *dims: pl.BlockSpec(
-        (1,) + dims, lambda t: (t,) + (0,) * len(dims),
+        (1,) + dims[:-1] + (chunk,),
+        lambda b, t: (t,) + (0,) * (len(dims) - 1) + (b,),
         memory_space=pltpu.VMEM,
     )
     whole = lambda *dims: pl.BlockSpec(
-        dims, lambda t: (0,) * len(dims), memory_space=pltpu.VMEM,
+        dims[:-1] + (chunk,),
+        lambda b, t: (0,) * (len(dims) - 1) + (b,),
+        memory_space=pltpu.VMEM,
     )
 
     kernel = functools.partial(_forward_kernel, nu, nx)
     return pl.pallas_call(
         kernel,
-        grid=(N,),
+        grid=(n_chunks, N),
         in_specs=[
             stage(nx, nx, Bt), stage(nx, Bt),
             stage(nu, nx, Bt), stage(nu, Bt),
@@ -315,7 +337,7 @@ def forward_lanes(M, v, K, d, x0, *, interpret=False):
             jax.ShapeDtypeStruct((N, nz, Bt), dt),
             jax.ShapeDtypeStruct((nx, Bt), dt),
         ),
-        scratch_shapes=[pltpu.VMEM((nx, Bt), dt)],
+        scratch_shapes=[pltpu.VMEM((nx, chunk), dt)],
         interpret=interpret,
     )(M, v, K, d, x0)
 
@@ -332,20 +354,16 @@ def from_lanes(x):
     return jnp.moveaxis(x, -1, 0)
 
 
-def solve_lanes(problem, it, x0, sigma: float, *, interpret=False):
-    """Full batched solve through the fused kernels.
+def prepare_lanes(problem, it, x0, sigma: float):
+    """Transpose a standard batched problem into the lanes layout.
 
-    problem/it: standard batched pytrees with LEADING batch axis B
-    (B % 128 == 0 on hardware; any B in interpret mode); x0 (B, nx).
-    Returns ws (B, N+1, nz) like every other backend.
-
-    The one-time layout transposes in/out of lanes are amortized over
-    the scan; data generated natively in lanes layout can call
-    backward_lanes/forward_lanes directly and skip them.
+    Returns the argument tuple for ``solve_prepared``.  In iterative
+    callers (ADMM, MPC replans, benchmarks) the stage matrices are
+    prepared once and only the small vector pieces change per solve.
     """
     from pdp_lqr_tpu.problem import make_stage_params
 
-    nu, nx = problem.nu, problem.nx
+    nu = problem.nu
     params = jax.vmap(lambda p, i: make_stage_params(p, i, sigma))(problem, it)
 
     A = to_lanes(problem.A)
@@ -368,12 +386,16 @@ def solve_lanes(problem, it, x0, sigma: float, *, interpret=False):
         hN = hN - jnp.einsum("bci,bc->bi", DN, rhoN * gN)
     PN = jnp.moveaxis(HN, 0, -1)
     pN = jnp.moveaxis(hN, 0, -1)
+    return (A, B, c, H, h, D, rho, rg, PN, pN, jnp.moveaxis(x0, 0, -1), nu)
 
+
+def solve_prepared(prep, *, interpret=False):
+    """Run the fused kernels on prepared lanes data -> ws (B, N+1, nz)."""
+    A, B, c, H, h, D, rho, rg, PN, pN, x0_l, nu = prep
     K, d, M, v = backward_lanes(
         A, B, c, H, h, D, rho, rg, PN, pN, interpret=interpret
     )
-    ws, xN = forward_lanes(M, v, K, d, jnp.moveaxis(x0, 0, -1),
-                           interpret=interpret)
+    ws, xN = forward_lanes(M, v, K, d, x0_l, interpret=interpret)
 
     ws = from_lanes(ws)                          # (B, N, nz)
     xN = jnp.moveaxis(xN, -1, 0)                 # (B, nx)
@@ -381,3 +403,14 @@ def solve_lanes(problem, it, x0, sigma: float, *, interpret=False):
         [jnp.zeros(xN.shape[:-1] + (nu,), ws.dtype), xN], axis=-1
     )
     return jnp.concatenate([ws, wN[:, None, :]], axis=1)
+
+
+def solve_lanes(problem, it, x0, sigma: float, *, interpret=False):
+    """Full batched solve through the fused kernels.
+
+    problem/it: standard batched pytrees with LEADING batch axis B
+    (B % 128 == 0 on hardware; any B in interpret mode); x0 (B, nx).
+    Returns ws (B, N+1, nz) like every other backend.
+    """
+    prep = prepare_lanes(problem, it, x0, sigma)
+    return solve_prepared(prep, interpret=interpret)

@@ -285,6 +285,184 @@ def solve(
     return w, ADMMState(w=w, z=z, y=y, rho=rho), info
 
 
+def solve_fused(
+    problem,
+    x0,
+    cones: Sequence[projections.ConeSpec] = (),
+    settings: ADMMSettings = ADMMSettings(),
+    state: Optional[ADMMState] = None,
+    soc_shift=None,
+    interpret: bool = False,
+):
+    """Batch-fused conic ADMM: inner solves via the Pallas lane kernels.
+
+    The production serving path: ``problem``/``x0`` carry a leading
+    batch axis B (B % 128 == 0 on hardware) and every ADMM iteration
+    runs ONE fused backward/forward kernel pair over the whole batch
+    (ops/pallas_riccati) — no per-instance vmap, no factor cache, so
+    the penalty rho adapts *per instance* on the usual cadence without
+    any refactor bookkeeping.  The iteration loop is a single
+    ``lax.scan``.  Math is identical to ``solve``.
+
+    Static (per-batch-invariant) stage data is transposed to the lanes
+    layout once; only the iterate-dependent vectors move per iteration.
+
+    Returns (ws (B, N+1, nz), ADMMState (batched), ADMMInfo (batched)).
+    """
+    from pdp_lqr_tpu.ops import pallas_riccati as pr
+
+    cones = tuple(cones)
+    sigma = settings.sigma
+    alpha = settings.alpha
+    dt = problem.H.dtype
+    Bb, N1 = problem.h.shape[0], problem.h.shape[1]
+    N = N1 - 1
+    nu, nx, nc = problem.nu, problem.nx, problem.nc
+    nz = nu + nx
+
+    if nc == 0:
+        from pdp_lqr_tpu.problem import ADMMIterates as It
+
+        it = It(
+            w=jnp.zeros(problem.h.shape, dt),
+            y=jnp.zeros(problem.e_lb.shape, dt),
+            z=jnp.zeros(problem.e_lb.shape, dt),
+            rho=jnp.zeros(problem.e_lb.shape, dt),
+        )
+        ws = pr.solve_lanes(problem, it, x0, sigma, interpret=interpret)
+        zero = jnp.zeros((Bb,), dt)
+        info = ADMMInfo(
+            iterations=jnp.ones((Bb,), jnp.int32), r_prim=zero, r_dual=zero,
+            converged=jnp.ones((Bb,), bool),
+            iter_converged=jnp.ones((Bb,), jnp.int32),
+        )
+        st = state
+        if st is None:
+            st = ADMMState(
+                w=jnp.zeros(problem.h.shape, dt),
+                z=jnp.zeros(problem.e_lb.shape, dt),
+                y=jnp.zeros(problem.e_lb.shape, dt),
+                rho=jnp.full((Bb,), settings.rho, dt),
+            )
+        return ws, st, info
+
+    mask = _con_mask(problem, cones).astype(dt)       # (B, N+1, nc)
+
+    # Static lanes-layout stage data (transposed once).
+    eye_z = jnp.eye(nz, dtype=dt)
+    A_l = pr.to_lanes(problem.A)
+    B_l = pr.to_lanes(problem.B)
+    c_l = pr.to_lanes(problem.c)
+    H_l = pr.to_lanes(problem.H[:, :-1] + sigma * eye_z)
+    D_l = pr.to_lanes(problem.D[:, :-1])
+    x0_l = jnp.moveaxis(x0, 0, -1)
+    HN = problem.H[:, -1, nu:, nu:] + sigma * jnp.eye(nx, dtype=dt)
+    DN = problem.D[:, -1, :, nu:]
+
+    if state is None:
+        state = ADMMState(
+            w=jnp.zeros(problem.h.shape, dt),
+            z=jnp.zeros(problem.e_lb.shape, dt),
+            y=jnp.zeros(problem.e_lb.shape, dt),
+            rho=jnp.full((Bb,), settings.rho, dt),
+        )
+
+    Dw = lambda w: jnp.einsum("bkcz,bkz->bkc", problem.D, w)
+    interval = max(1, settings.rho_update_interval)
+
+    def iteration(carry, _):
+        w, z, y, rho, stats = carry
+        k_it, iter_conv, _, _, _ = stats
+        rho_vec = rho[:, None, None] * mask
+        inv_rho = jnp.where(mask > 0, 1.0, 0.0) / jnp.maximum(
+            rho[:, None, None], 1e-30
+        ) * mask
+        g = z - inv_rho * y
+
+        h_t = problem.h - sigma * w
+        h_t = h_t.at[:, -1, :nu].set(0.0)
+        h_l = pr.to_lanes(h_t[:, :-1])
+        rho_l = pr.to_lanes(rho_vec[:, :-1])
+        rg_l = pr.to_lanes((rho_vec * g)[:, :-1])
+
+        rhoN = rho_vec[:, -1]
+        gN = g[:, -1]
+        PN = HN + jnp.einsum("bci,bc,bcj->bij", DN, rhoN, DN)
+        pN = h_t[:, -1, nu:] - jnp.einsum("bci,bc->bi", DN, rhoN * gN)
+
+        K, d, M, v = pr.backward_lanes(
+            A_l, B_l, c_l, H_l, h_l, D_l, rho_l, rg_l,
+            jnp.moveaxis(PN, 0, -1), jnp.moveaxis(pN, 0, -1),
+            interpret=interpret,
+        )
+        ws_l, xN = pr.forward_lanes(M, v, K, d, x0_l, interpret=interpret)
+        ws = pr.from_lanes(ws_l)
+        xN = jnp.moveaxis(xN, -1, 0)
+        wN = jnp.concatenate(
+            [jnp.zeros(xN.shape[:-1] + (nu,), dt), xN], axis=-1
+        )
+        ws = jnp.concatenate([ws, wN[:, None, :]], axis=1)
+
+        z_t = Dw(ws)
+        w_new = alpha * ws + (1.0 - alpha) * w
+        v_z = alpha * z_t + (1.0 - alpha) * z + inv_rho * y
+        z_new = projections.project_constraints(
+            v_z, problem.e_lb, problem.e_ub, cones, soc_shift
+        ) * mask
+        y_new = y + rho_vec * (alpha * z_t + (1.0 - alpha) * z - z_new)
+
+        Dw_new = Dw(w_new)
+        amax = lambda x: jnp.max(jnp.abs(x), axis=(1, 2))
+        r_prim = amax((Dw_new - z_new) * mask)
+        dz = jnp.einsum("bkcz,bkc->bkz", problem.D, (z_new - z) * mask)
+        r_dual = rho * jnp.max(jnp.abs(dz), axis=(1, 2))
+
+        prim_scale = jnp.maximum(amax(Dw_new * mask), amax(z_new))
+        dty = jnp.einsum("bkcz,bkc->bkz", problem.D, y_new)
+        dual_scale = jnp.max(jnp.abs(dty), axis=(1, 2))
+        conv = (r_prim <= settings.eps_abs + settings.eps_rel * prim_scale) \
+            & (r_dual <= settings.eps_abs + settings.eps_rel * dual_scale)
+
+        k_next = k_it + 1
+        iter_conv = jnp.where(conv & (iter_conv < 0), k_next, iter_conv)
+
+        # Per-instance adaptive rho on the cadence (no refactor needed).
+        if settings.adaptive_rho:
+            tiny = jnp.asarray(1e-12, dt)
+            ratio = jnp.sqrt(
+                jnp.maximum(r_prim, tiny) / jnp.maximum(r_dual, tiny)
+            )
+            upd = ((ratio > 5.0) | (ratio < 0.2)) & (k_next % interval == 0)
+            rho = jnp.where(
+                upd,
+                jnp.clip(rho * ratio, settings.rho_min, settings.rho_max),
+                rho,
+            )
+
+        stats = (k_next, iter_conv, r_prim, r_dual, conv)
+        return (w_new, z_new, y_new, rho, stats), None
+
+    stats0 = (
+        jnp.asarray(0, jnp.int32),
+        jnp.full((Bb,), -1, jnp.int32),
+        jnp.full((Bb,), jnp.inf, dt),
+        jnp.full((Bb,), jnp.inf, dt),
+        jnp.zeros((Bb,), bool),
+    )
+    carry0 = (state.w, state.z, state.y,
+              jnp.broadcast_to(jnp.asarray(state.rho, dt), (Bb,)), stats0)
+    (w, z, y, rho, stats), _ = jax.lax.scan(
+        iteration, carry0, None, length=settings.max_iter
+    )
+    k_it, iter_conv, r_prim, r_dual, conv = stats
+    info = ADMMInfo(
+        iterations=jnp.full((Bb,), k_it), r_prim=r_prim, r_dual=r_dual,
+        converged=conv,
+        iter_converged=jnp.where(iter_conv < 0, k_it, iter_conv),
+    )
+    return w, ADMMState(w=w, z=z, y=y, rho=rho), info
+
+
 def solve_batched(problem, x0, cones=(), settings=ADMMSettings(), state=None,
                   soc_shift=None):
     """vmap over a leading batch axis of (problem, x0[, state]).

@@ -176,6 +176,49 @@ def test_warm_start_converges_fast():
     np.testing.assert_allclose(np.asarray(ws2), np.asarray(ws1), atol=1e-4)
 
 
+def test_admm_fused_matches_per_instance():
+    """Batch-fused Pallas ADMM == vmapped per-instance ADMM (interpret).
+
+    The fused path adapts rho per instance without refactor cadence
+    mechanics, so compare against per-instance runs with adaptive rho
+    off to keep the iteration sequences identical.
+    """
+    import dataclasses
+
+    problem, _ = quadrotor(N=10, constrained=True)
+    B = 3
+    rng = np.random.default_rng(1)
+    bp = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), problem)
+    bp = dataclasses.replace(
+        bp, c=bp.c + jnp.asarray(rng.normal(size=bp.c.shape) * 0.005)
+    )
+    x0s = jnp.asarray(rng.normal(size=(B, 12)) * 0.05)
+    st = _settings(max_iter=150, adaptive_rho=False)
+    ws_f, _, info_f = admm.solve_fused(bp, x0s, (), st, interpret=True)
+    for i in range(B):
+        pi = jax.tree.map(lambda x: x[i], bp)
+        ws_i, _, _ = admm.solve(pi, x0s[i], (), st)
+        np.testing.assert_allclose(
+            np.asarray(ws_f[i]), np.asarray(ws_i), atol=1e-8
+        )
+
+
+def test_admm_fused_unconstrained():
+    problem, _ = quadrotor(N=8)
+    B = 2
+    bp = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), problem)
+    x0s = jnp.zeros((B, 12))
+    ws_f, _, info = admm.solve_fused(bp, x0s, (), _settings(), interpret=True)
+    from pdp_lqr_tpu.solvers import sequential
+    from pdp_lqr_tpu import init_iterates
+
+    its = jax.vmap(lambda p: init_iterates(p, rho=0.1))(bp)
+    ws_ref, _ = sequential.solve_batched(bp, its, x0s, 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ws_f), np.asarray(ws_ref), atol=1e-9
+    )
+
+
 def test_admm_batched():
     problem, _ = quadrotor(N=10, constrained=True)
     B = 3

@@ -53,6 +53,18 @@ def test_pallas_matches_sequential_random():
     )
 
 
+def test_pallas_lane_chunking(monkeypatch):
+    """B > LANE_CHUNK splits into chunks with identical results."""
+    problem, _ = quadrotor(N=6, constrained=True)
+    bp, its, x0 = _batch(problem, B=6)
+    ws_ref = pallas_riccati.solve_lanes(bp, its, x0, SIGMA, interpret=True)
+    monkeypatch.setattr(pallas_riccati, "LANE_CHUNK", 2)  # -> 3 chunks
+    ws_chunked = pallas_riccati.solve_lanes(bp, its, x0, SIGMA, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(ws_chunked), np.asarray(ws_ref), atol=1e-12
+    )
+
+
 def test_lanes_roundtrip():
     x = jnp.arange(24.0).reshape(2, 3, 4)
     y = pallas_riccati.from_lanes(pallas_riccati.to_lanes(x))
