@@ -98,14 +98,20 @@ def main():
             return ws
 
     fn = jax.jit(step)
+    # Completion fence: a jitted scalar reduction pulled to host.  On
+    # remote-tunnel backends block_until_ready has been observed to
+    # return before the program finishes; a host readback cannot.  The
+    # fence program is compiled and warmed here so the timed window
+    # pays only its execution (~reduction + one scalar RPC).
+    fence = jax.jit(lambda w: jnp.all(jnp.isfinite(w)))
     call_args = step_args if step_args is not None else (problem, its, x0)
-    ws = jax.block_until_ready(fn(*call_args))  # compile + warm
-    assert bool(jnp.all(jnp.isfinite(ws))), "non-finite solve output"
+    ws = fn(*call_args)  # compile + warm
+    assert bool(fence(ws)), "non-finite solve output"
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
         ws = fn(*call_args)
-    jax.block_until_ready(ws)
+    bool(fence(ws))
     dt = time.perf_counter() - t0
 
     solves_per_s = B * args.iters / dt

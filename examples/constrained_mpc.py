@@ -8,6 +8,11 @@ receding horizon with warm starts.
 Usage: python examples/constrained_mpc.py [--horizon N] [--steps T]
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import argparse
 import time
 

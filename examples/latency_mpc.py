@@ -1,0 +1,91 @@
+"""Replan latency vs the 1 kHz MPC budget (BASELINE.md metric #2).
+
+Measures steady-state receding-horizon replan cost on one chip with the
+*delta method*: time K and 2K ADMM-iteration solves back-to-back and
+report the marginal cost per iteration — this cancels fixed dispatch /
+transfer overheads (which, over this environment's remote-TPU tunnel,
+otherwise dominate and make single-call wall-clock misleading).
+
+Usage: python examples/latency_mpc.py [--horizon N] [--admm-iters K]
+"""
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+_fence = jax.jit(lambda w: jnp.all(jnp.isfinite(w)))
+
+
+def _time(fn, *args, reps=20):
+    """Pipelined timing: async dispatches + one pre-warmed host fence.
+
+    TPU executes queued programs in order, so fencing the last call
+    bounds them all; per-call host round-trips stay out of the window.
+    """
+    out = fn(*args)
+    assert bool(_fence(out))  # compile fn + fence, verify finite
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    bool(_fence(out))
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--horizon", type=int, default=64)
+    ap.add_argument("--admm-iters", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=128)
+    args = ap.parse_args()
+
+    from pdp_lqr_tpu.models import quadrotor
+    from pdp_lqr_tpu.solvers import admm
+
+    dtype = jnp.float32
+    problem, _ = quadrotor(N=args.horizon, constrained=True, dtype=dtype)
+    K = args.admm_iters
+
+    def settings(iters):
+        return admm.ADMMSettings(
+            max_iter=iters, rho_update_interval=iters,
+            adaptive_rho=False, eps_abs=1e-4, eps_rel=1e-4,
+        )
+
+    # ---- single instance (XLA backend, B=1) -----------------------------
+    x0 = jnp.zeros(problem.nx, dtype)
+    f1 = jax.jit(lambda p, x: admm.solve(p, x, (), settings(K))[0])
+    f2 = jax.jit(lambda p, x: admm.solve(p, x, (), settings(2 * K))[0])
+    tK = _time(f1, problem, x0)
+    t2K = _time(f2, problem, x0)
+    per_iter = (t2K - tK) / K
+    replan_ms = per_iter * K * 1e3
+    print(f"single instance: {per_iter*1e6:.1f} us/ADMM-iter -> "
+          f"{K}-iter warm replan ~= {replan_ms:.3f} ms "
+          f"({'WITHIN' if replan_ms <= 1.0 else 'OVER'} 1 ms / 1 kHz budget)")
+
+    # ---- fused batch (Pallas kernels) -----------------------------------
+    B = args.batch
+    bp = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), problem)
+    x0s = jnp.zeros((B, problem.nx), dtype)
+    g1 = jax.jit(lambda p, x: admm.solve_fused(p, x, (), settings(K))[0])
+    g2 = jax.jit(lambda p, x: admm.solve_fused(p, x, (), settings(2 * K))[0])
+    tK = _time(g1, bp, x0s)
+    t2K = _time(g2, bp, x0s)
+    per_iter = (t2K - tK) / K
+    total_ms = per_iter * K * 1e3
+    print(f"fused batch B={B}: {per_iter*1e6:.1f} us/ADMM-iter -> "
+          f"{K}-iter replan ~= {total_ms:.3f} ms total, "
+          f"{total_ms/B*1e3:.1f} us/instance")
+
+
+if __name__ == "__main__":
+    main()

@@ -9,6 +9,11 @@ time each, and print the first 5 inputs + final state for comparison
 Usage: python examples/lqr_example.py [--horizon N] [--f64]
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import argparse
 import time
 
