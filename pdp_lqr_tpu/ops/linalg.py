@@ -123,3 +123,75 @@ def chol_solve_unrolled(L: jax.Array, Bmat: jax.Array) -> jax.Array:
 def spd_solve_unrolled(M: jax.Array, Bmat: jax.Array) -> jax.Array:
     """Solve M X = B for small SPD M (unrolled Cholesky + substitution)."""
     return chol_solve_unrolled(cholesky_unrolled(M), Bmat)
+
+
+def solve_lower_unrolled(L: jax.Array, Bmat: jax.Array) -> jax.Array:
+    """Unrolled forward substitution: L Y = B, L lower (..., n, n).
+
+    Bmat (..., n, k) -> (..., n, k)."""
+    n = L.shape[-1]
+    ys = [None] * n
+    for i in range(n):
+        s = Bmat[..., i, :]
+        for t in range(i):
+            s = s - L[..., i, t][..., None] * ys[t]
+        ys[i] = s / L[..., i, i][..., None]
+    return jnp.stack(ys, axis=-2)
+
+
+def solve_lower_T_unrolled(L: jax.Array, Bmat: jax.Array) -> jax.Array:
+    """Unrolled back substitution: L^T Y = B, L lower (..., n, n)."""
+    n = L.shape[-1]
+    ys = [None] * n
+    for i in range(n - 1, -1, -1):
+        s = Bmat[..., i, :]
+        for t in range(i + 1, n):
+            s = s - L[..., t, i][..., None] * ys[t]
+        ys[i] = s / L[..., i, i][..., None]
+    return jnp.stack(ys, axis=-2)
+
+
+def ge_solve_unrolled(A: jax.Array, Bmat: jax.Array) -> jax.Array:
+    """Solve A X = B for small general A, fully unrolled, with
+    branch-free partial pivoting.
+
+    Same motivation as the unrolled Cholesky: XLA's TPU LU lowering is
+    a sequential loop that dominates e.g. the associative-scan combine
+    (every combine solves with I + C J, n = nx).  Pivoting is done
+    with where-masks over the static row range — no dynamic slicing —
+    costing ~n^2 selects per column on top of the ~n^3/3 elimination
+    FMAs, all vectorized over the batch.
+
+    A: (..., n, n); Bmat: (..., n, k).  Returns (..., n, k).
+    """
+    n = A.shape[-1]
+    k = Bmat.shape[-1]
+    # Work on row lists of (..., n + k) augmented rows.
+    rows = [
+        jnp.concatenate([A[..., i, :], Bmat[..., i, :]], axis=-1)
+        for i in range(n)
+    ]
+    for col in range(n):
+        # Branch-free partial pivot: bubble the max-|pivot| row (among
+        # col..n-1) into position col with conditional pairwise swaps.
+        cur = rows[col]
+        for r in range(col + 1, n):
+            swap = (jnp.abs(rows[r][..., col])
+                    > jnp.abs(cur[..., col]))[..., None]
+            cur, rows[r] = (
+                jnp.where(swap, rows[r], cur),
+                jnp.where(swap, cur, rows[r]),
+            )
+        rows[col] = cur
+        inv_p = 1.0 / rows[col][..., col]
+        for r in range(col + 1, n):
+            f = (rows[r][..., col] * inv_p)[..., None]
+            rows[r] = rows[r] - f * rows[col]
+    # Back substitution.
+    xs = [None] * n
+    for i in range(n - 1, -1, -1):
+        s = rows[i][..., n:]
+        for t in range(i + 1, n):
+            s = s - rows[i][..., t][..., None] * xs[t]
+        xs[i] = s / rows[i][..., i][..., None]
+    return jnp.stack(xs, axis=-2)

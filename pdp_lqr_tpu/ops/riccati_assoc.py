@@ -76,11 +76,12 @@ def leaf_elements(problem: LQRProblem, params: StageParams, rho):
     r = h[:-1, :nu]
     q = h[:-1, nu:]
 
-    # R~^{-1} applied to [S | r | B^T] via one batched Cholesky.
-    LR = linalg.cholesky(R)
+    # R~^{-1} applied to [S | r | B^T] via one batched unrolled Cholesky
+    # (stage-parallel; XLA's generic lowering is loop-sequential).
+    LR = linalg.cholesky_unrolled(R)
     BT = jnp.swapaxes(problem.B, -1, -2)
     rhs = jnp.concatenate([S, r[..., None], BT], axis=-1)
-    sol = linalg.chol_solve(LR, rhs)  # (N, nu, nx + 1 + nx)
+    sol = linalg.chol_solve_unrolled(LR, rhs)  # (N, nu, nx + 1 + nx)
     RiS = sol[..., :nx]
     Rir = sol[..., nx]
     RiBT = sol[..., nx + 1 :]
@@ -108,13 +109,19 @@ def combine(e_early, e_late):
     eye = jnp.eye(nx, dtype=A1.dtype)
 
     IpCJ = eye + C1 @ J2
-    # T X for X in [A1 | b1 + C1 eta2]; T = (I + C1 J2)^{-1}.
+    # T X for X in [A1 | C1 | b1 + C1 eta2]; T = (I + C1 J2)^{-1}.
+    # NOTE: jnp.linalg.solve on purpose — an unrolled elimination here
+    # is replicated into every level of the associative-scan tree
+    # (~2 log2 N copies of a ~nx^3-op body) and was measured to crash
+    # the TPU compiler at N=512; the batched LU amortizes fine because
+    # each scan level solves all its elements in one batched call.
     rhs = jnp.concatenate(
-        [A1, (b1 + (C1 @ n2[..., None])[..., 0])[..., None]], axis=-1
+        [A1, C1, (b1 + (C1 @ n2[..., None])[..., 0])[..., None]], axis=-1
     )
     TX = jnp.linalg.solve(IpCJ, rhs)
     TA1 = TX[..., :nx]
-    Tb = TX[..., nx]
+    TC1 = TX[..., nx : 2 * nx]
+    Tb = TX[..., 2 * nx]
 
     # T^T Y for Y in [J2 A1 | eta2 - J2 b1]; T^T = (I + J2 C1)^{-1}.
     rhsT = jnp.concatenate(
@@ -127,7 +134,7 @@ def combine(e_early, e_late):
     A1T = jnp.swapaxes(A1, -1, -2)
     A3 = A2 @ TA1
     b3 = (A2 @ Tb[..., None])[..., 0] + b2
-    C3 = A2 @ (jnp.linalg.solve(IpCJ, C1)) @ jnp.swapaxes(A2, -1, -2) + C2
+    C3 = A2 @ TC1 @ jnp.swapaxes(A2, -1, -2) + C2
     n3 = (A1T @ Tn[..., None])[..., 0] + n1
     J3 = A1T @ TJ2A1 + J1
     # Symmetrize: C and J are symmetric by construction; the solves
@@ -170,14 +177,16 @@ def backward(problem: LQRProblem, params: StageParams, rho) -> riccati.RiccatiFa
     ET = jnp.swapaxes(E, -1, -2)
 
     M = H[:-1] + ET @ P_next @ E
-    L = linalg.cholesky(M)
+    L = linalg.cholesky_unrolled(M)
     Pb = (P_next @ problem.c[..., None])[..., 0] + p_next
     lp = h[:-1] + (ET @ Pb[..., None])[..., 0]
-    lu = linalg.solve_lower(L[..., :nu, :nu], lp[..., :nu])
+    lu = linalg.solve_lower_unrolled(
+        L[..., :nu, :nu], lp[..., :nu, None]
+    )[..., 0]
     pv = lp[..., nu:] - (L[..., nu:, :nu] @ lu[..., None])[..., 0]
     lp = jnp.concatenate([lu, pv], axis=-1)
 
-    LxxN = linalg.cholesky(H[-1, nu:, nu:])
+    LxxN = linalg.cholesky_unrolled(H[-1, nu:, nu:])
     return riccati.RiccatiFactors(L=L, lp=lp, LxxN=LxxN, pN=h[-1, nu:])
 
 
@@ -197,8 +206,8 @@ def forward(problem: LQRProblem, factors: riccati.RiccatiFactors, x0):
     Lxu = L[..., nu:, :nu]
     lu = lp[..., :nu]
 
-    K = linalg.solve_lower_T(Luu, -jnp.swapaxes(Lxu, -1, -2))
-    d = linalg.solve_lower_T(Luu, -lu)
+    K = linalg.solve_lower_T_unrolled(Luu, -jnp.swapaxes(Lxu, -1, -2))
+    d = linalg.solve_lower_T_unrolled(Luu, -lu[..., None])[..., 0]
 
     M = problem.A + problem.B @ K
     v = (problem.B @ d[..., None])[..., 0] + problem.c
@@ -246,12 +255,12 @@ def backward_no_refactor(
     Pc = (Lxx_next @ (jnp.swapaxes(Lxx_next, -1, -2)
                       @ problem.c[..., None]))[..., 0]
 
-    K = linalg.solve_lower_T(Luu, -jnp.swapaxes(Lxu, -1, -2))
+    K = linalg.solve_lower_T_unrolled(Luu, -jnp.swapaxes(Lxu, -1, -2))
     # Stationary parts of lp given p_{k+1} = 0:
     lp0 = h[:-1] + (jnp.swapaxes(
         jnp.concatenate([problem.B, problem.A], axis=-1), -1, -2
     ) @ Pc[..., None])[..., 0]
-    lu0 = linalg.solve_lower(Luu, lp0[..., :nu])
+    lu0 = linalg.solve_lower_unrolled(Luu, lp0[..., :nu, None])[..., 0]
     w = lp0[..., nu:] - (Lxu @ lu0[..., None])[..., 0]
 
     MT = jnp.swapaxes(problem.A + problem.B @ K, -1, -2)
@@ -273,7 +282,7 @@ def backward_no_refactor(
     p_next = jnp.concatenate([p[1:], pN[None]], axis=0)
     ET = jnp.swapaxes(jnp.concatenate([problem.B, problem.A], axis=-1), -1, -2)
     lp = h[:-1] + (ET @ (Pc + p_next)[..., None])[..., 0]
-    lu = linalg.solve_lower(Luu, lp[..., :nu])
+    lu = linalg.solve_lower_unrolled(Luu, lp[..., :nu, None])[..., 0]
     pv = lp[..., nu:] - (Lxu @ lu[..., None])[..., 0]
     lp = jnp.concatenate([lu, pv], axis=-1)
     return riccati.RiccatiFactors(L=L, lp=lp, LxxN=factors.LxxN, pN=pN)

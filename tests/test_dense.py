@@ -30,6 +30,33 @@ def _random_iterates(problem, seed):
     )
 
 
+@pytest.mark.parametrize("n,k", [(1, 1), (3, 2), (6, 4), (12, 3)])
+def test_unrolled_ge_solve(n, k):
+    """General unrolled GE with branch-free partial pivoting."""
+    rng = np.random.default_rng(n * 7 + k)
+    A = jnp.asarray(rng.normal(size=(5, n, n)))
+    # Include a permutation-heavy case: zero diagonal via row roll.
+    A = A.at[0].set(jnp.roll(A[0], 1, axis=0))
+    B = jnp.asarray(rng.normal(size=(5, n, k)))
+    X = linalg.ge_solve_unrolled(A, B)
+    np.testing.assert_allclose(np.asarray(A @ X), np.asarray(B), atol=1e-9)
+
+
+@pytest.mark.parametrize("n,k", [(1, 1), (2, 3), (4, 5), (8, 2)])
+def test_unrolled_triangular_solves(n, k):
+    rng = np.random.default_rng(n + k)
+    G = rng.normal(size=(4, n, n))
+    M = jnp.asarray(G @ np.swapaxes(G, -1, -2) + n * np.eye(n))
+    L = linalg.cholesky_unrolled(M)
+    B = jnp.asarray(rng.normal(size=(4, n, k)))
+    Y = linalg.solve_lower_unrolled(L, B)
+    np.testing.assert_allclose(np.asarray(L @ Y), np.asarray(B), atol=1e-10)
+    Z = linalg.solve_lower_T_unrolled(L, B)
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(L, -1, -2) @ Z), np.asarray(B), atol=1e-10
+    )
+
+
 @pytest.mark.parametrize("n,k", [(1, 1), (2, 3), (4, 5), (8, 2)])
 def test_unrolled_chol_solve(n, k):
     rng = np.random.default_rng(n * 10 + k)
