@@ -202,7 +202,38 @@ def _backward_kernel(nu, nx, nc,
     p_scr[:] = pn
 
 
-LANE_CHUNK = 512  # lanes per grid step; bounds VMEM per stage block
+LANE_CHUNK = 512        # max lanes per grid step
+VMEM_BUDGET = 12 << 20  # streamed blocks + live temporaries per chunk
+
+
+def _pick_chunk(Bt: int, words_per_lane: int, temp_words: int,
+                dtype_bytes: int) -> int:
+    """Largest chunk <= LANE_CHUNK fitting the VMEM budget.
+
+    Budget covers the double-buffered streamed stage blocks plus an
+    allowance for the kernel's live (matrix, chunk) temporaries —
+    measured to overflow the 16 MB scoped limit at nx=40 without it.
+    Problem dims vary: quadrotor nz=16 runs 512 lanes; mass-spring
+    nz=50 drops to 64 (lane tiles pad below 128 — wasteful but
+    correct, and large-state stages have ample per-lane work).
+    """
+    for chunk in (512, 256, 128):
+        if chunk > min(Bt, LANE_CHUNK) or Bt % chunk != 0:
+            continue
+        est = (2 * words_per_lane + temp_words) * chunk * dtype_bytes
+        if est <= VMEM_BUDGET:
+            return chunk
+    # 128 is the hardware floor for a lane-dim block; rely on the
+    # raised vmem limit (see _compiler_params) for very large states.
+    return 128 if (Bt % 128 == 0 and Bt >= 128) else Bt
+
+
+def _compiler_params(interpret: bool):
+    if interpret:
+        return None
+    # Default scoped-vmem limit is 16 MB; large-state kernels (nz ~ 50)
+    # at the 128-lane floor need slightly more for live temporaries.
+    return pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
 
 
 def backward_lanes(A, B, c, H, h, D, rho, rg, PN, pN, *, interpret=False):
@@ -233,7 +264,10 @@ def backward_lanes(A, B, c, H, h, D, rho, rg, PN, pN, *, interpret=False):
         rho = jnp.zeros((N, 1, Bt), dt)
         rg = jnp.zeros((N, 1, Bt), dt)
 
-    chunk = Bt if (Bt <= LANE_CHUNK or Bt % LANE_CHUNK != 0) else LANE_CHUNK
+    ncp = max(nc, 1)
+    words = (nx * nx + nx * nu + nx + nz * nz + nz + ncp * nz + 2 * ncp
+             + nu * nx + nu + nx * nx + nx + 2 * (nx * nx + nx))
+    chunk = _pick_chunk(Bt, words, 12 * nz * nz, jnp.dtype(dt).itemsize)
     n_chunks = Bt // chunk
 
     stage = lambda *dims: pl.BlockSpec(
@@ -273,6 +307,7 @@ def backward_lanes(A, B, c, H, h, D, rho, rg, PN, pN, *, interpret=False):
             pltpu.VMEM((nx, nx, chunk), dt),
             pltpu.VMEM((nx, chunk), dt),
         ],
+        compiler_params=_compiler_params(interpret),
         interpret=interpret,
     )(A, B, c, H, h, D, rho, rg, PN, pN)
 
@@ -309,7 +344,8 @@ def forward_lanes(M, v, K, d, x0, *, interpret=False):
     nz = nx + nu
     dt = M.dtype
 
-    chunk = Bt if (Bt <= LANE_CHUNK or Bt % LANE_CHUNK != 0) else LANE_CHUNK
+    words = 2 * (nx * nx + nx) + nu * nx + nu + nz + nx
+    chunk = _pick_chunk(Bt, words, 4 * nx * nx, jnp.dtype(dt).itemsize)
     n_chunks = Bt // chunk
 
     stage = lambda *dims: pl.BlockSpec(
@@ -338,6 +374,7 @@ def forward_lanes(M, v, K, d, x0, *, interpret=False):
             jax.ShapeDtypeStruct((nx, Bt), dt),
         ),
         scratch_shapes=[pltpu.VMEM((nx, chunk), dt)],
+        compiler_params=_compiler_params(interpret),
         interpret=interpret,
     )(M, v, K, d, x0)
 

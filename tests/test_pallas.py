@@ -53,6 +53,32 @@ def test_pallas_matches_sequential_random():
     )
 
 
+def test_pallas_larger_state_dims():
+    """Mass-spring chain (nx=40, nu=10) through the fused kernels."""
+    from pdp_lqr_tpu.models import mass_spring_chain
+
+    problem = mass_spring_chain(n_masses=20, N=6)
+    bp, its, x0 = _batch(problem, B=2)
+    ws_p = pallas_riccati.solve_lanes(bp, its, x0, SIGMA, interpret=True)
+    ws_d, _ = dense.solve_batched(bp, its, x0, SIGMA)
+    np.testing.assert_allclose(
+        np.asarray(ws_p), np.asarray(ws_d), atol=1e-8
+    )
+
+
+def test_pallas_centroidal_cones_dims():
+    """Centroidal model (nx=24, nu=6, nc=6) through the fused kernels."""
+    from pdp_lqr_tpu.models import centroidal
+
+    problem, _ = centroidal(N=5)
+    bp, its, x0 = _batch(problem, B=2)
+    ws_p = pallas_riccati.solve_lanes(bp, its, x0, SIGMA, interpret=True)
+    ws_d, _ = dense.solve_batched(bp, its, x0, SIGMA)
+    np.testing.assert_allclose(
+        np.asarray(ws_p), np.asarray(ws_d), atol=1e-7
+    )
+
+
 def test_pallas_lane_chunking(monkeypatch):
     """B > LANE_CHUNK splits into chunks with identical results."""
     problem, _ = quadrotor(N=6, constrained=True)
