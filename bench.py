@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--horizon", type=int, default=512)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--model", default="quadrotor",
+                    choices=["quadrotor", "mass_spring", "centroidal"],
+                    help="BASELINE.json config family to bench")
     ap.add_argument("--solver", default="auto",
                     choices=["auto", "seq", "pdp", "assoc", "dense", "pallas"])
     ap.add_argument("--resident", action="store_true",
@@ -42,9 +45,40 @@ def main():
     B = args.batch if args.batch is not None else (32 if on_cpu else 4096)
     N = args.horizon
 
-    from __graft_entry__ import _quadrotor_batch
+    if args.model == "quadrotor":
+        from __graft_entry__ import _quadrotor_batch
 
-    problem, its, x0 = _quadrotor_batch(batch=B, N=N)
+        problem, its, x0 = _quadrotor_batch(batch=B, N=N)
+        dims = "nx=12, nu=4"
+    else:
+        import dataclasses
+
+        import numpy as np
+
+        from pdp_lqr_tpu.problem import init_iterates
+
+        if args.model == "mass_spring":
+            from pdp_lqr_tpu.models import mass_spring_chain
+
+            base = mass_spring_chain(n_masses=20, N=N, dtype=jnp.float32)
+        else:
+            from pdp_lqr_tpu.models import centroidal
+
+            base, _ = centroidal(N=N, dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        tile = lambda x: jnp.broadcast_to(x, (B,) + x.shape)
+        problem = jax.tree.map(tile, base)
+        problem = dataclasses.replace(
+            problem,
+            c=problem.c + jnp.asarray(
+                rng.normal(size=problem.c.shape) * 0.001, jnp.float32
+            ),
+        )
+        its = jax.vmap(lambda p: init_iterates(p, rho=0.01))(problem)
+        x0 = jnp.asarray(
+            rng.normal(size=(B, base.nx)).astype(np.float32) * 0.1
+        )
+        dims = f"nx={base.nx}, nu={base.nu}"
 
     solver_name = args.solver
     if solver_name == "auto":
@@ -116,9 +150,11 @@ def main():
 
     solves_per_s = B * args.iters / dt
     label = solver_name + ("+resident" if args.resident else "")
+    if args.model != "quadrotor":
+        label = f"{args.model}, {label}"
     print(json.dumps({
         "metric": f"conic LQR solves/s/chip (backward+forward, N={N}, "
-                  f"nx=12, nu=4, B={B}, {label}, {backend})",
+                  f"{dims}, B={B}, {label}, {backend})",
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / TARGET_PER_CHIP, 4),
