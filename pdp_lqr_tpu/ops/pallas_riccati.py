@@ -202,6 +202,201 @@ def _backward_kernel(nu, nx, nc,
     p_scr[:] = pn
 
 
+# -------------------------------------------------- PDP segment kernel
+
+def _backward_pdp_kernel(nu, nx, nc,
+                         A_ref, B_ref, c_ref, H_ref, h_ref, D_ref,
+                         rho_ref, rg_ref, Pi_ref, pi_ref, Fi_ref,
+                         Ci_ref, fi_ref,
+                         K_ref, d_ref, M_ref, v_ref, G_ref,
+                         P0_ref, p0_ref, F0_ref, C0_ref, f0_ref,
+                         P_scr, p_scr, F_scr, C_scr, f_scr):
+    """Backward sweep + PDP segment-coupling propagation, P-form.
+
+    Reference math: ParallelLQRKernel::step_with_factorization
+    (lqr_kernel_parallel.hpp:87-136) recast without Cholesky factors:
+
+      Gp = -Huu^{-1} B^T F+^T          (u-correction: u = Kx + d + Gp uhat;
+                                        the reference's G = Luu^{-1}... obeys
+                                        Luu^{-T} G = Gp)
+      F  = F+ (A + B K)                closed-loop transition
+      f  = F+ (B d + c) + f+           offset
+      C  = C+ + G^T G = C+ - (F+ B) Gp Gram accumulation
+
+    Per-segment boundary exports (P0, p0, F0, C0, f0 — the reference's
+    update_segment_data payload, lqr_solver_parallel.hpp:182-187) are
+    written on the final (stage-0) grid step of each lane chunk.
+    """
+    t = pl.program_id(1)
+    n_time = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _():
+        P_scr[:] = Pi_ref[:]
+        p_scr[:] = pi_ref[:]
+        F_scr[:] = Fi_ref[:]
+        C_scr[:] = Ci_ref[:]
+        f_scr[:] = fi_ref[:]
+
+    A = A_ref[0]
+    Bm = B_ref[0]
+    c = c_ref[0]
+    H = H_ref[0]
+    h = h_ref[0]
+    if nc > 0:
+        D = D_ref[0]
+        rho = rho_ref[0]
+        rg = rg_ref[0]
+        for ci in range(nc):
+            w = rho[ci] * D[ci]
+            rows = []
+            for i in range(H.shape[0]):
+                rows.append(H[i] + D[ci, i][None, :] * w)
+            H = jnp.stack(rows, axis=0)
+            h = h - rg[ci][None, :] * D[ci]
+
+    R = H[:nu, :nu]
+    S = H[:nu, nu:]
+    Q = H[nu:, nu:]
+    r = h[:nu]
+    q = h[nu:]
+
+    P = P_scr[:]
+    p = p_scr[:]
+    F = F_scr[:]
+    C = C_scr[:]
+    f = f_scr[:]
+
+    PA = _mm(P, A)
+    PB = _mm(P, Bm)
+    Pcp = _mv(P, c) + p
+    G = S + _mtm(Bm, PA)
+    Huu = R + _mtm(Bm, PB)
+    rbar = r + _mtv(Bm, Pcp)
+
+    L = _chol_lanes(Huu)
+    FB = _mm(F, Bm)                       # F+ B (nx, nu, B)
+    Kcols = []
+    Gcols = []
+    for jcol in range(nx):
+        x = _chol_solve_lanes(L, [G[i, jcol] for i in range(nu)])
+        Kcols.append(jnp.stack(x, axis=0))
+        y = _chol_solve_lanes(L, [FB[jcol, i] for i in range(nu)])
+        Gcols.append(jnp.stack(y, axis=0))
+    K = -jnp.stack(Kcols, axis=1)         # (nu, nx, B)
+    Gp = -jnp.stack(Gcols, axis=1)        # (nu, nx, B) = -Huu^{-1} B^T F+^T
+    d = -jnp.stack(_chol_solve_lanes(L, [rbar[i] for i in range(nu)]), axis=0)
+
+    Pn = Q + _mtm(A, PA) + _mtm(G, K)
+    Pn = 0.5 * (Pn + jnp.swapaxes(Pn, 0, 1))
+    pn = q + _mtv(A, Pcp) + _mtv(K, rbar)
+
+    Mcl = A + _mm(Bm, K)
+    vcl = _mv(Bm, d) + c
+    Fn = _mm(F, Mcl)
+    fn = _mv(F, vcl) + f
+    Cn = C - _mm(FB, Gp)
+    Cn = 0.5 * (Cn + jnp.swapaxes(Cn, 0, 1))
+
+    K_ref[0] = K
+    d_ref[0] = d
+    M_ref[0] = Mcl
+    v_ref[0] = vcl
+    G_ref[0] = Gp
+    P_scr[:] = Pn
+    p_scr[:] = pn
+    F_scr[:] = Fn
+    C_scr[:] = Cn
+    f_scr[:] = fn
+
+    @pl.when(t == n_time - 1)
+    def _():
+        P0_ref[:] = Pn
+        p0_ref[:] = pn
+        F0_ref[:] = Fn
+        C0_ref[:] = Cn
+        f0_ref[:] = fn
+
+
+def backward_pdp_lanes(A, B, c, H, h, D, rho, rg, Pi, pi, Fi, Ci, fi, *,
+                       interpret=False):
+    """Fused PDP segment reduction; all arrays batch-last.
+
+    Stage arrays as in ``backward_lanes``; (Pi, pi, Fi, Ci, fi) are the
+    per-segment initial carries ((nx,nx,B)/(nx,B) etc.): the last
+    segment passes the folded terminal cost-to-go with F=I, C=f=0;
+    non-last segments pass P=0, p=0, F=I, C=0, f=0
+    (lqr_kernel_parallel.hpp:51-67 in P-form).
+
+    Returns (K, d, M, v, Gp, P0, p0, F0, C0, f0).
+    """
+    N, nx, _, Bt = A.shape
+    nu = B.shape[2]
+    nz = nx + nu
+    nc = D.shape[1]
+    dt = A.dtype
+
+    if nc == 0:
+        D = jnp.zeros((N, 1, nz, Bt), dt)
+        rho = jnp.zeros((N, 1, Bt), dt)
+        rg = jnp.zeros((N, 1, Bt), dt)
+
+    ncp = max(nc, 1)
+    words = (nx * nx + nx * nu + nx + nz * nz + nz + ncp * nz + 2 * ncp
+             + 2 * (nu * nx) + nu + nx * nx + nx
+             + 5 * (3 * nx * nx + 2 * nx))
+    chunk = _pick_chunk(Bt, words, 16 * nz * nz, jnp.dtype(dt).itemsize)
+    n_chunks = Bt // chunk
+
+    stage = lambda *dims: pl.BlockSpec(
+        (1,) + dims[:-1] + (chunk,),
+        lambda b, t: (N - 1 - t,) + (0,) * (len(dims) - 1) + (b,),
+        memory_space=pltpu.VMEM,
+    )
+    whole = lambda *dims: pl.BlockSpec(
+        dims[:-1] + (chunk,),
+        lambda b, t: (0,) * (len(dims) - 1) + (b,),
+        memory_space=pltpu.VMEM,
+    )
+
+    kernel = functools.partial(_backward_pdp_kernel, nu, nx, nc)
+    mat = lambda: jax.ShapeDtypeStruct((nx, nx, Bt), dt)
+    vec = lambda: jax.ShapeDtypeStruct((nx, Bt), dt)
+    out_shape = (
+        jax.ShapeDtypeStruct((N, nu, nx, Bt), dt),   # K
+        jax.ShapeDtypeStruct((N, nu, Bt), dt),       # d
+        jax.ShapeDtypeStruct((N, nx, nx, Bt), dt),   # M
+        jax.ShapeDtypeStruct((N, nx, Bt), dt),       # v
+        jax.ShapeDtypeStruct((N, nu, nx, Bt), dt),   # Gp
+        mat(), vec(), mat(), mat(), vec(),           # P0 p0 F0 C0 f0
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_chunks, N),
+        in_specs=[
+            stage(nx, nx, Bt), stage(nx, nu, Bt), stage(nx, Bt),
+            stage(nz, nz, Bt), stage(nz, Bt),
+            stage(ncp, nz, Bt), stage(ncp, Bt), stage(ncp, Bt),
+            whole(nx, nx, Bt), whole(nx, Bt), whole(nx, nx, Bt),
+            whole(nx, nx, Bt), whole(nx, Bt),
+        ],
+        out_specs=(
+            stage(nu, nx, Bt), stage(nu, Bt),
+            stage(nx, nx, Bt), stage(nx, Bt), stage(nu, nx, Bt),
+            whole(nx, nx, Bt), whole(nx, Bt), whole(nx, nx, Bt),
+            whole(nx, nx, Bt), whole(nx, Bt),
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((nx, nx, chunk), dt), pltpu.VMEM((nx, chunk), dt),
+            pltpu.VMEM((nx, nx, chunk), dt),
+            pltpu.VMEM((nx, nx, chunk), dt), pltpu.VMEM((nx, chunk), dt),
+        ],
+        compiler_params=_compiler_params(interpret),
+        interpret=interpret,
+    )(A, B, c, H, h, D, rho, rg, Pi, pi, Fi, Ci, fi)
+
+
 LANE_CHUNK = 512        # max lanes per grid step
 VMEM_BUDGET = 12 << 20  # streamed blocks + live temporaries per chunk
 
