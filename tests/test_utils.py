@@ -50,6 +50,29 @@ def test_roofline_sane():
     assert r["bound"] in ("compute", "memory")
 
 
+def test_solve_quality():
+    from pdp_lqr_tpu.utils import quality
+
+    problem = double_integrator(N=15, constrained=True, u_max=0.3)
+    settings = admm.ADMMSettings(max_iter=300)
+    ws, _, info = admm.solve(problem, jnp.asarray([0.0, 0.0]),
+                             settings=settings)
+    q = quality.assess(problem, ws)
+    assert bool(info.converged)
+    # Dynamics exactly feasible (inner solve property), box to tolerance.
+    assert float(q.dyn_residual) < 1e-10
+    assert float(q.box_violation) < 1e-5
+    assert float(q.cone_violation) == 0.0
+    # Objective matches a direct computation.
+    ws_np = np.asarray(ws)
+    H = np.asarray(problem.H)
+    h = np.asarray(problem.h)
+    obj = 0.5 * np.einsum("kz,kzw,kw->", ws_np, H, ws_np) + np.einsum(
+        "kz,kz->", h, ws_np
+    )
+    np.testing.assert_allclose(float(q.objective), obj, rtol=1e-10)
+
+
 def test_time_fn():
     f = jax.jit(lambda x: x * 2.0)
     t = profiling.time_fn(f, jnp.ones(16), iters=3)
