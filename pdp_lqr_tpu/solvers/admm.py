@@ -346,18 +346,56 @@ def solve_fused(
             )
         return ws, st, info
 
-    mask = _con_mask(problem, cones).astype(dt)       # (B, N+1, nc)
+    # Everything below lives in the lanes layout — iterate vectors
+    # included — so per-iteration work is the kernel pair plus compact
+    # (rows, B)-tiled elementwise math.  The padded (B, N, nc, nz)
+    # einsum layout of a naive implementation was measured to cost ~10x
+    # the kernel time at B=1024.
+    mask_b = _con_mask(problem, cones).astype(dt)     # (B, N+1, nc)
+    l3 = lambda x: jnp.moveaxis(x, 0, -1)             # (B, a, b[, c]) -> lanes
+    mask = l3(mask_b)                                 # (N+1, nc, B)
 
-    # Static lanes-layout stage data (transposed once).
     eye_z = jnp.eye(nz, dtype=dt)
     A_l = pr.to_lanes(problem.A)
     B_l = pr.to_lanes(problem.B)
     c_l = pr.to_lanes(problem.c)
     H_l = pr.to_lanes(problem.H[:, :-1] + sigma * eye_z)
-    D_l = pr.to_lanes(problem.D[:, :-1])
+    Dst_l = pr.to_lanes(problem.D[:, :-1])            # (N, nc, nz, B)
+    Dall_l = pr.to_lanes(problem.D)                   # (N+1, nc, nz, B)
     x0_l = jnp.moveaxis(x0, 0, -1)
-    HN = problem.H[:, -1, nu:, nu:] + sigma * jnp.eye(nx, dtype=dt)
-    DN = problem.D[:, -1, :, nu:]
+    HN_l = l3(problem.H[:, -1, nu:, nu:] + sigma * jnp.eye(nx, dtype=dt))
+    DN_l = l3(problem.D[:, -1, :, nu:])               # (nc, nx, B)
+    h_base = l3(problem.h)                            # (N+1, nz, B)
+    uterm = jnp.ones((N + 1, nz, 1), dt).at[-1, :nu].set(0.0)
+    lb_l = l3(problem.e_lb)
+    ub_l = l3(problem.e_ub)
+    shift_l = None if soc_shift is None else soc_shift[..., None]
+
+    def Dw_l(w):
+        """(N+1, nc, B) = D w, unrolled over nz (compact layouts)."""
+        acc = Dall_l[:, :, 0, :] * w[:, None, 0, :]
+        for zi in range(1, nz):
+            acc = acc + Dall_l[:, :, zi, :] * w[:, None, zi, :]
+        return acc
+
+    def DTy_l(yv):
+        """(N+1, nz, B) = D^T y, unrolled over nc."""
+        acc = Dall_l[:, 0, :, :] * yv[:, 0, None, :]
+        for ci in range(1, nc):
+            acc = acc + Dall_l[:, ci, :, :] * yv[:, ci, None, :]
+        return acc
+
+    def project_l(v):
+        out = jnp.clip(v, lb_l, ub_l)
+        for off, dim in cones:
+            blk = v[:, off : off + dim, :]
+            if shift_l is not None:
+                s = shift_l[:, off : off + dim, :]
+                blk = projections.project_soc(blk + s, axis=-2) - s
+            else:
+                blk = projections.project_soc(blk, axis=-2)
+            out = out.at[:, off : off + dim, :].set(blk)
+        return out
 
     if state is None:
         state = ADMMState(
@@ -367,59 +405,47 @@ def solve_fused(
             rho=jnp.full((Bb,), settings.rho, dt),
         )
 
-    Dw = lambda w: jnp.einsum("bkcz,bkz->bkc", problem.D, w)
     interval = max(1, settings.rho_update_interval)
 
     def iteration(carry, _):
-        w, z, y, rho, stats = carry
+        w, z, y, rho, stats = carry          # lanes: w (N+1,nz,B), z/y (N+1,nc,B)
         k_it, iter_conv, _, _, _ = stats
-        rho_vec = rho[:, None, None] * mask
-        inv_rho = jnp.where(mask > 0, 1.0, 0.0) / jnp.maximum(
-            rho[:, None, None], 1e-30
-        ) * mask
+        rho_vec = rho[None, None, :] * mask
+        inv_rho = mask / jnp.maximum(rho[None, None, :], 1e-30)
         g = z - inv_rho * y
 
-        h_t = problem.h - sigma * w
-        h_t = h_t.at[:, -1, :nu].set(0.0)
-        h_l = pr.to_lanes(h_t[:, :-1])
-        rho_l = pr.to_lanes(rho_vec[:, :-1])
-        rg_l = pr.to_lanes((rho_vec * g)[:, :-1])
+        h_t = (h_base - sigma * w) * uterm
+        rg = rho_vec * g
 
-        rhoN = rho_vec[:, -1]
-        gN = g[:, -1]
-        PN = HN + jnp.einsum("bci,bc,bcj->bij", DN, rhoN, DN)
-        pN = h_t[:, -1, nu:] - jnp.einsum("bci,bc->bi", DN, rhoN * gN)
+        # Terminal fold (unrolled over nc on (nx, nx, B) tiles).
+        PN = HN_l
+        pN = h_t[-1, nu:]
+        for ci in range(nc):
+            wrow = rho_vec[-1, ci] * DN_l[ci]          # (nx, B)
+            PN = PN + DN_l[ci][:, None, :] * wrow[None, :, :]
+            pN = pN - rg[-1, ci][None, :] * DN_l[ci]
 
         K, d, M, v = pr.backward_lanes(
-            A_l, B_l, c_l, H_l, h_l, D_l, rho_l, rg_l,
-            jnp.moveaxis(PN, 0, -1), jnp.moveaxis(pN, 0, -1),
-            interpret=interpret,
+            A_l, B_l, c_l, H_l, h_t[:-1], Dst_l, rho_vec[:-1], rg[:-1],
+            PN, pN, interpret=interpret,
         )
         ws_l, xN = pr.forward_lanes(M, v, K, d, x0_l, interpret=interpret)
-        ws = pr.from_lanes(ws_l)
-        xN = jnp.moveaxis(xN, -1, 0)
-        wN = jnp.concatenate(
-            [jnp.zeros(xN.shape[:-1] + (nu,), dt), xN], axis=-1
-        )
-        ws = jnp.concatenate([ws, wN[:, None, :]], axis=1)
+        wN = jnp.concatenate([jnp.zeros((nu, Bb), dt), xN], axis=0)
+        w_t = jnp.concatenate([ws_l, wN[None]], axis=0)  # (N+1, nz, B)
 
-        z_t = Dw(ws)
-        w_new = alpha * ws + (1.0 - alpha) * w
+        z_t = Dw_l(w_t)
+        w_new = alpha * w_t + (1.0 - alpha) * w
         v_z = alpha * z_t + (1.0 - alpha) * z + inv_rho * y
-        z_new = projections.project_constraints(
-            v_z, problem.e_lb, problem.e_ub, cones, soc_shift
-        ) * mask
+        z_new = project_l(v_z) * mask
         y_new = y + rho_vec * (alpha * z_t + (1.0 - alpha) * z - z_new)
 
-        Dw_new = Dw(w_new)
-        amax = lambda x: jnp.max(jnp.abs(x), axis=(1, 2))
+        Dw_new = Dw_l(w_new)
+        amax = lambda x: jnp.max(jnp.abs(x), axis=(0, 1))   # -> (B,)
         r_prim = amax((Dw_new - z_new) * mask)
-        dz = jnp.einsum("bkcz,bkc->bkz", problem.D, (z_new - z) * mask)
-        r_dual = rho * jnp.max(jnp.abs(dz), axis=(1, 2))
+        r_dual = rho * amax(DTy_l((z_new - z) * mask))
 
         prim_scale = jnp.maximum(amax(Dw_new * mask), amax(z_new))
-        dty = jnp.einsum("bkcz,bkc->bkz", problem.D, y_new)
-        dual_scale = jnp.max(jnp.abs(dty), axis=(1, 2))
+        dual_scale = amax(DTy_l(y_new))
         conv = (r_prim <= settings.eps_abs + settings.eps_rel * prim_scale) \
             & (r_dual <= settings.eps_abs + settings.eps_rel * dual_scale)
 
@@ -449,18 +475,24 @@ def solve_fused(
         jnp.full((Bb,), jnp.inf, dt),
         jnp.zeros((Bb,), bool),
     )
-    carry0 = (state.w, state.z, state.y,
-              jnp.broadcast_to(jnp.asarray(state.rho, dt), (Bb,)), stats0)
+    carry0 = (
+        l3(state.w), l3(state.z), l3(state.y),
+        jnp.broadcast_to(jnp.asarray(state.rho, dt), (Bb,)), stats0,
+    )
     (w, z, y, rho, stats), _ = jax.lax.scan(
         iteration, carry0, None, length=settings.max_iter
     )
+    # Back to the batch-leading API layout (once).
+    w_b = jnp.moveaxis(w, -1, 0)
+    z_b = jnp.moveaxis(z, -1, 0)
+    y_b = jnp.moveaxis(y, -1, 0)
     k_it, iter_conv, r_prim, r_dual, conv = stats
     info = ADMMInfo(
         iterations=jnp.full((Bb,), k_it), r_prim=r_prim, r_dual=r_dual,
         converged=conv,
         iter_converged=jnp.where(iter_conv < 0, k_it, iter_conv),
     )
-    return w, ADMMState(w=w, z=z, y=y, rho=rho), info
+    return w_b, ADMMState(w=w_b, z=z_b, y=y_b, rho=rho), info
 
 
 def solve_batched(problem, x0, cones=(), settings=ADMMSettings(), state=None,
