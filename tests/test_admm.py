@@ -219,6 +219,49 @@ def test_admm_fused_unconstrained():
     )
 
 
+def test_admm_fused_cones_match_per_instance():
+    """Fused path with SOC rows + shift == per-instance path."""
+    import dataclasses
+
+    rng = np.random.default_rng(5)
+    nx, nu, N = 4, 2, 8
+    base = random_lq(nx, nu, N, nc=0, seed=5)
+    nz = nx + nu
+    D = np.zeros((N + 1, 3, nz))
+    D[:N, 1, 0] = 1.0
+    D[:N, 2, 1] = 1.0
+    problem = dataclasses.replace(
+        base,
+        D=jnp.asarray(D),
+        e_lb=jnp.full((N + 1, 3), -np.inf),
+        e_ub=jnp.full((N + 1, 3), np.inf),
+    )
+    shift = np.zeros((N + 1, 3))
+    shift[:, 0] = 0.25
+    shift_j = jnp.asarray(shift)
+    cones = ((0, 3),)
+
+    B = 2
+    bp = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), problem)
+    x0s = jnp.asarray(rng.normal(size=(B, nx)) * 0.3)
+    st = _settings(max_iter=200, adaptive_rho=False)
+    ws_f, _, info_f = admm.solve_fused(
+        bp, x0s, cones, st, soc_shift=shift_j, interpret=True
+    )
+    for i in range(B):
+        ws_i, _, _ = admm.solve(
+            problem, x0s[i], cones, st, soc_shift=shift_j
+        )
+        np.testing.assert_allclose(
+            np.asarray(ws_f[i]), np.asarray(ws_i), atol=1e-8
+        )
+    # The ball binds (violation bounded by the ADMM tolerance at this
+    # iteration budget, not exactly feasible).
+    norms = np.linalg.norm(np.asarray(ws_f)[:, :N, :2], axis=-1)
+    assert np.all(norms <= 0.25 + 2e-3)
+    assert np.max(norms) > 0.2  # actually active
+
+
 def test_admm_batched():
     problem, _ = quadrotor(N=10, constrained=True)
     B = 3
