@@ -29,7 +29,6 @@ failure masks detect without host synchronization.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

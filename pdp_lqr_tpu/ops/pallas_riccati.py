@@ -32,7 +32,6 @@ pinned by tests/test_pallas.py at f32 tolerance.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
