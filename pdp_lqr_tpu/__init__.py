@@ -34,6 +34,12 @@ from pdp_lqr_tpu.problem import (
     init_iterates,
     make_stage_params,
 )
+from pdp_lqr_tpu.api import (
+    LQRSolver,
+    LQRParallelSolver,
+    QDLDLSolver,
+    AssociativeScanSolver,
+)
 
 __all__ = [
     "SolverConfig",
@@ -44,6 +50,10 @@ __all__ = [
     "StageParams",
     "init_iterates",
     "make_stage_params",
+    "LQRSolver",
+    "LQRParallelSolver",
+    "QDLDLSolver",
+    "AssociativeScanSolver",
 ]
 
 __version__ = "0.1.0"
