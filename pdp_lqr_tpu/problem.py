@@ -122,9 +122,26 @@ def build_problem(
         N = A.shape[0]
 
     nx = A.shape[-1]
+    if A.shape[-2] != nx:
+        raise ValueError(f"A must be square per stage, got {A.shape[-2:]}")
     B = np.asarray(B, dtype=np.float64)
+    if B.shape[-2] != nx:
+        raise ValueError(
+            f"B row count {B.shape[-2]} != state dimension {nx}"
+        )
     nu = B.shape[-1]
     nz = nx + nu
+    for name, blk, shape in (
+        ("Q", Q, (nx, nx)), ("R", R, (nu, nu)),
+    ):
+        bs = np.asarray(blk).shape[-2:]
+        if bs != shape:
+            raise ValueError(f"{name} block shape {bs} != {shape}")
+    if D is not None and np.asarray(D).shape[-1] != nz:
+        raise ValueError(
+            f"D must have nz = nu + nx = {nz} columns (u-first [u; x] "
+            f"ordering), got {np.asarray(D).shape[-1]}"
+        )
 
     def stack(M, shape):
         M = np.asarray(M, dtype=np.float64)
