@@ -29,6 +29,7 @@ programs:
 from pdp_lqr_tpu.config import SolverConfig, LQR_INFTY, DIVISION_TOL
 from pdp_lqr_tpu.problem import (
     LQRProblem,
+    build_problem,
     ADMMIterates,
     StageParams,
     init_iterates,
@@ -46,6 +47,7 @@ __all__ = [
     "LQR_INFTY",
     "DIVISION_TOL",
     "LQRProblem",
+    "build_problem",
     "ADMMIterates",
     "StageParams",
     "init_iterates",

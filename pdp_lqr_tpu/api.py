@@ -10,9 +10,13 @@ lifecycle (include/clqr/lqr/lqr_solver.hpp:9-28):
 
 This module provides the same classes and call sequence on top of the
 pure-functional backends, so a reference user can port call sites
-mechanically.  Internally each method is a cached jit of the
-corresponding functional op; the object only holds the problem, the
-current StageParams, and the factor cache (all immutable pytrees).
+mechanically.  Each lifecycle method dispatches to a module-level
+jitted callable cached by ``(backend, kind, batched, static-config)``
+— the jit cache is therefore shared across calls AND across solver
+instances with the same configuration, so only the first call of each
+(shape, config) combination traces/compiles.  This matters because the
+reference lifecycle lives inside ADMM iteration loops where
+``backward_without_factorization``/``forward`` fire every iteration.
 
 Differences from the reference, by design:
   * ``forward`` returns the trajectory instead of mutating ``ws``.
@@ -23,7 +27,7 @@ Differences from the reference, by design:
 
 from __future__ import annotations
 
-from typing import Optional
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -32,8 +36,74 @@ from pdp_lqr_tpu.config import CondensedSolverType
 from pdp_lqr_tpu.problem import ADMMIterates, LQRProblem, make_stage_params
 
 
+def _make_fn(backend: str, kind: str, cfg: tuple):
+    """Build the pure function for one (backend, lifecycle-step) pair.
+
+    ``cfg`` carries the backend's static configuration (segment count,
+    condensed-solver type, rho_dyn, ...) so the returned closure is a
+    function of arrays only — safe to vmap/jit once and reuse.
+    """
+    if backend == "seq":
+        from pdp_lqr_tpu.ops import riccati
+
+        return {
+            "bw": riccati.backward,
+            "bw_cached": riccati.backward_no_refactor,
+            "fw": riccati.forward,
+        }[kind]
+    if backend == "pdp":
+        from pdp_lqr_tpu.solvers import pdp
+
+        num_segments, solver_type = cfg
+        return {
+            "bw": lambda p, prm, rho: pdp.backward(
+                p, prm, rho, num_segments, solver_type
+            ),
+            "bw_cached": pdp.backward_without_factorization,
+            "fw": pdp.forward,
+        }[kind]
+    if backend == "kkt":
+        from pdp_lqr_tpu.solvers import kkt
+
+        (rho_dyn,) = cfg
+        return {
+            "bw": lambda p, prm, rho: kkt.backward(p, prm, rho, rho_dyn),
+            "fw": kkt.forward,
+        }[kind]
+    if backend == "assoc":
+        from pdp_lqr_tpu.ops import riccati_assoc
+
+        return {
+            "bw": riccati_assoc.backward,
+            "bw_cached": riccati_assoc.backward_no_refactor,
+            "fw": riccati_assoc.forward,
+        }[kind]
+    if backend == "params":
+        # Pseudo-backend: the update_problem_data iterate→StageParams
+        # transform, cached here so it stops retracing per call too.
+        (sigma,) = cfg
+        return lambda p, it: make_stage_params(p, it, sigma)
+    raise ValueError(f"unknown backend {backend!r}")
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted(backend: str, kind: str, batched: bool, cfg: tuple):
+    """One jitted callable per (backend, step, batchedness, config).
+
+    lru_cache guarantees the same function object comes back for the
+    same key, so jax.jit's trace cache is hit on every call after the
+    first (regression-tested in tests/test_api.py).
+    """
+    fn = _make_fn(backend, kind, cfg)
+    if batched:
+        fn = jax.vmap(fn)
+    return jax.jit(fn)
+
+
 class _SolverBase:
-    """Shared lifecycle plumbing; subclasses bind a backend module."""
+    """Shared lifecycle plumbing; subclasses bind a backend name."""
+
+    _backend: str = ""
 
     def __init__(self, model: LQRProblem):
         self.model = model
@@ -42,19 +112,21 @@ class _SolverBase:
         self._rho = None
         self._factors = None
 
+    def _cfg(self) -> tuple:
+        """Hashable static configuration for the jit cache key."""
+        return ()
+
+    def _dispatch(self, kind: str):
+        return _jitted(self._backend, kind, self._batched, self._cfg())
+
     # -- reference: update_problem_data (lqr_solver.hpp:41-56) ----------
     def update_problem_data(self, ws, ys, zs, rho_vecs, sigma: float):
         it = ADMMIterates(
             w=jnp.asarray(ws), y=jnp.asarray(ys), z=jnp.asarray(zs),
             rho=jnp.asarray(rho_vecs),
         )
-        mk = make_stage_params
-        if self._batched:
-            self._params = jax.vmap(lambda p, i: mk(p, i, sigma))(
-                self.model, it
-            )
-        else:
-            self._params = mk(self.model, it, sigma)
+        fn = _jitted("params", "mk", self._batched, (float(sigma),))
+        self._params = fn(self.model, it)
         self._rho = it.rho
         return self
 
@@ -62,32 +134,19 @@ class _SolverBase:
         if self._params is None:
             raise RuntimeError("call update_problem_data first")
 
-    def _bw(self, problem, params, rho):
-        raise NotImplementedError
-
-    def _bw_cached(self, problem, params, rho, factors):
-        raise NotImplementedError
-
-    def _fw(self, problem, factors, x0):
-        raise NotImplementedError
-
     # -- reference: backward / backward_without_factorization -----------
     def backward(self):
         self._require_params()
-        fn = self._bw
-        if self._batched:
-            fn = jax.vmap(fn)
-        self._factors = jax.jit(fn)(self.model, self._params, self._rho)
+        self._factors = self._dispatch("bw")(
+            self.model, self._params, self._rho
+        )
         return self
 
     def backward_without_factorization(self):
         self._require_params()
         if self._factors is None:
             raise RuntimeError("no cached factorization; call backward first")
-        fn = self._bw_cached
-        if self._batched:
-            fn = jax.vmap(fn)
-        self._factors = jax.jit(fn)(
+        self._factors = self._dispatch("bw_cached")(
             self.model, self._params, self._rho, self._factors
         )
         return self
@@ -96,10 +155,9 @@ class _SolverBase:
     def forward(self, x0):
         if self._factors is None:
             raise RuntimeError("call backward first")
-        fn = self._fw
-        if self._batched:
-            fn = jax.vmap(fn)
-        return jax.jit(fn)(self.model, self._factors, jnp.asarray(x0))
+        return self._dispatch("fw")(
+            self.model, self._factors, jnp.asarray(x0)
+        )
 
     def clear_workspace(self):
         """Reference: LQRSolver::clear_workspace (lqr_solver.hpp:26)."""
@@ -112,20 +170,7 @@ class _SolverBase:
 class LQRSolver(_SolverBase):
     """Sequential Riccati — reference ``clqr::LQRSolver``."""
 
-    def _bw(self, problem, params, rho):
-        from pdp_lqr_tpu.ops import riccati
-
-        return riccati.backward(problem, params, rho)
-
-    def _bw_cached(self, problem, params, rho, factors):
-        from pdp_lqr_tpu.ops import riccati
-
-        return riccati.backward_no_refactor(problem, params, rho, factors)
-
-    def _fw(self, problem, factors, x0):
-        from pdp_lqr_tpu.ops import riccati
-
-        return riccati.forward(problem, factors, x0)
+    _backend = "seq"
 
 
 class LQRParallelSolver(_SolverBase):
@@ -138,6 +183,8 @@ class LQRParallelSolver(_SolverBase):
     picks the condensed factorization (LU or CHOLESKY).
     """
 
+    _backend = "pdp"
+
     def __init__(self, model: LQRProblem, num_segments: int = 4,
                  load_balancing: bool = False,
                  solver_type: CondensedSolverType = CondensedSolverType.CHOLESKY):
@@ -146,21 +193,8 @@ class LQRParallelSolver(_SolverBase):
         self.num_segments = num_segments
         self.solver_type = solver_type
 
-    def _bw(self, problem, params, rho):
-        from pdp_lqr_tpu.solvers import pdp
-
-        return pdp.backward(problem, params, rho, self.num_segments,
-                            self.solver_type)
-
-    def _bw_cached(self, problem, params, rho, factors):
-        from pdp_lqr_tpu.solvers import pdp
-
-        return pdp.backward_without_factorization(problem, params, rho, factors)
-
-    def _fw(self, problem, factors, x0):
-        from pdp_lqr_tpu.solvers import pdp
-
-        return pdp.forward(problem, factors, x0)
+    def _cfg(self):
+        return (self.num_segments, self.solver_type)
 
 
 class QDLDLSolver(_SolverBase):
@@ -171,29 +205,27 @@ class QDLDLSolver(_SolverBase):
     QDLDL has no analog — the block-tridiagonal structure is static.
     """
 
+    _backend = "kkt"
+
     def __init__(self, model: LQRProblem, rho_dyn: float = 1e-6):
         super().__init__(model)
         self.rho_dyn = rho_dyn
 
-    def _bw(self, problem, params, rho):
-        from pdp_lqr_tpu.solvers import kkt
+    def _cfg(self):
+        return (self.rho_dyn,)
 
-        return kkt.backward(problem, params, rho, self.rho_dyn)
-
-    def _bw_cached(self, problem, params, rho, factors):
+    def backward_without_factorization(self):
         # Numeric factor reuse == not refactoring at all (only the rhs
         # changes); the factors pass through untouched.
-        return factors
+        self._require_params()
+        if self._factors is None:
+            raise RuntimeError("no cached factorization; call backward first")
+        return self
 
     def forward(self, x0):
         if self._factors is None:
             raise RuntimeError("call backward first")
-        from pdp_lqr_tpu.solvers import kkt
-
-        fn = lambda p, prm, rho, fac, x: kkt.forward(p, prm, rho, fac, x)
-        if self._batched:
-            fn = jax.vmap(fn)
-        return jax.jit(fn)(
+        return self._dispatch("fw")(
             self.model, self._params, self._rho, self._factors,
             jnp.asarray(x0),
         )
@@ -203,17 +235,4 @@ class AssociativeScanSolver(_SolverBase):
     """Log-depth associative-scan Riccati (TPU-native; no reference
     counterpart — same lifecycle for interchangeability)."""
 
-    def _bw(self, problem, params, rho):
-        from pdp_lqr_tpu.ops import riccati_assoc
-
-        return riccati_assoc.backward(problem, params, rho)
-
-    def _bw_cached(self, problem, params, rho, factors):
-        from pdp_lqr_tpu.ops import riccati_assoc
-
-        return riccati_assoc.backward_no_refactor(problem, params, rho, factors)
-
-    def _fw(self, problem, factors, x0):
-        from pdp_lqr_tpu.ops import riccati_assoc
-
-        return riccati_assoc.forward(problem, factors, x0)
+    _backend = "assoc"

@@ -411,15 +411,18 @@ def _pick_chunk(Bt: int, words_per_lane: int, temp_words: int,
     nz=50 drops to 64 (lane tiles pad below 128 — wasteful but
     correct, and large-state stages have ample per-lane work).
     """
-    for chunk in (512, 256, 128):
-        if chunk > min(Bt, LANE_CHUNK) or Bt % chunk != 0:
+    # Candidates derive from LANE_CHUNK (not a hardcoded list) so tests
+    # can shrink it and genuinely exercise the multi-chunk path.
+    for chunk in (LANE_CHUNK, LANE_CHUNK // 2, LANE_CHUNK // 4):
+        if chunk <= 0 or chunk > Bt or Bt % chunk != 0:
             continue
         est = (2 * words_per_lane + temp_words) * chunk * dtype_bytes
         if est <= VMEM_BUDGET:
             return chunk
     # 128 is the hardware floor for a lane-dim block; rely on the
     # raised vmem limit (see _compiler_params) for very large states.
-    return 128 if (Bt % 128 == 0 and Bt >= 128) else Bt
+    floor = min(LANE_CHUNK, 128)
+    return floor if (Bt % floor == 0 and Bt >= floor) else Bt
 
 
 def _compiler_params(interpret: bool):

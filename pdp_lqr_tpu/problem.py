@@ -102,6 +102,7 @@ def build_problem(
     DN=None,
     e_lbN=None,
     e_ubN=None,
+    stage_constraints=None,
     N: Optional[int] = None,
     dtype=jnp.float64,
 ) -> LQRProblem:
@@ -111,6 +112,21 @@ def build_problem(
     array with a leading horizon axis.  This plays the role of the
     reference's ``LQRModel::add_node`` loop (lqr_model.hpp:85-88) plus
     the example's block-filling (examples/lqr_example.cpp:122-168).
+
+    Constraints come in two mutually exclusive forms:
+
+    * ``D``/``e_lb``/``e_ub`` (+ terminal ``DN``/``e_lbN``/``e_ubN``):
+      one uniform stage constraint block, optionally stacked over the
+      horizon.
+    * ``stage_constraints``: a length-``N`` or ``N+1`` sequence whose
+      entry ``k`` is ``(D_k, e_lb_k, e_ub_k)`` or ``None``, with a
+      *different* row count per stage — the reference's per-node ``ncs``
+      (lqr_model.hpp:71-88).  Rows are padded internally to the max
+      count with zero-D rows and infinite bounds; padded rows carry
+      rho = 0 and contribute exactly nothing to the penalty fold
+      (lqr_kernel.hpp:106-112), so the padding is exact.  A terminal
+      entry may have ``nx`` columns (x-only, like the reference's
+      terminal node) or ``nz`` columns with zero u-columns.
     """
     A = np.asarray(A, dtype=np.float64)
     if A.ndim == 2:
@@ -168,7 +184,51 @@ def build_problem(
     H[N, nu:, nu:] = Q[-1] if QN is None else np.asarray(QN, dtype=np.float64)
     h[N, nu:] = q[-1] if qN is None else np.asarray(qN, dtype=np.float64)
 
-    if D is None and DN is None:
+    if stage_constraints is not None:
+        if D is not None or DN is not None:
+            raise ValueError(
+                "stage_constraints is mutually exclusive with D/DN"
+            )
+        entries = list(stage_constraints)
+        if len(entries) == N:
+            entries.append(None)  # no terminal constraints
+        if len(entries) != N + 1:
+            raise ValueError(
+                f"stage_constraints must have N={N} or N+1={N + 1} "
+                f"entries, got {len(entries)}"
+            )
+        ncs = [0 if e is None else np.asarray(e[0]).shape[0]
+               for e in entries]
+        nc = max(ncs, default=0)
+        Dfull = np.zeros((N + 1, nc, nz))
+        lb = np.full((N + 1, nc), -np.inf)
+        ub = np.full((N + 1, nc), np.inf)
+        for k, ent in enumerate(entries):
+            if ent is None:
+                continue
+            Dk, lbk, ubk = ent
+            Dk = np.asarray(Dk, dtype=np.float64).reshape(-1, np.asarray(Dk).shape[-1])
+            m = Dk.shape[0]
+            if k == N and Dk.shape[1] == nx:
+                # Terminal constraints act on x only (reference terminal
+                # node has no u-block); pad the u-columns with zeros.
+                Dk = np.concatenate([np.zeros((m, nu)), Dk], axis=1)
+            if Dk.shape[1] != nz:
+                raise ValueError(
+                    f"stage_constraints[{k}]: D has {Dk.shape[1]} columns, "
+                    f"expected nz = {nz}" + (f" or nx = {nx}" if k == N else "")
+                )
+            if k == N and np.any(Dk[:, :nu] != 0):
+                raise ValueError(
+                    "terminal constraint rows must not touch controls "
+                    "(u-columns of the terminal D must be zero)"
+                )
+            lbk = np.broadcast_to(np.asarray(lbk, dtype=np.float64), (m,))
+            ubk = np.broadcast_to(np.asarray(ubk, dtype=np.float64), (m,))
+            Dfull[k, :m, :] = Dk
+            lb[k, :m] = lbk
+            ub[k, :m] = ubk
+    elif D is None and DN is None:
         nc = 0
         Dfull = np.zeros((N + 1, 0, nz))
         lb = np.zeros((N + 1, 0))

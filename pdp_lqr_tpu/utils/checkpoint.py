@@ -34,6 +34,12 @@ def load_pytree(path, like: Any) -> Any:
     """
     data = np.load(path)
     leaves, treedef = jax.tree.flatten(like)
+    stored_treedef = bytes(data["treedef"]).decode()
+    if stored_treedef != repr(treedef):
+        raise ValueError(
+            "checkpoint tree structure does not match `like`:\n"
+            f"  stored:   {stored_treedef}\n  expected: {treedef!r}"
+        )
     n = len(leaves)
     loaded = [data[f"leaf_{i}"] for i in range(n)]
     for a, b in zip(leaves, loaded):

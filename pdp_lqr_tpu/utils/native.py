@@ -1,10 +1,11 @@
 """ctypes bindings for the native C++ batch engine (native/clqr_native.cpp).
 
-The shared object is compiled on demand with g++ (no external deps, a
-few seconds) and cached next to the source; zero-egress environments
-are fine since nothing is downloaded.  If no compiler is available the
-module degrades gracefully: ``available()`` returns False and callers
-fall back to the NumPy oracle.
+The shared object is always compiled from source with g++ (no external
+deps, a few seconds) into a cache directory keyed on a hash of the
+source, so a checkout never ships or loads a prebuilt binary; zero-
+egress environments are fine since nothing is downloaded.  If no
+compiler is available the module degrades gracefully: ``available()``
+returns False and callers fall back to the NumPy oracle.
 
 Role: compiled independent parity witness + multithreaded CPU fallback
 engine (see the C++ file's header).
@@ -13,8 +14,10 @@ engine (see the C++ file's header).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
+import tempfile
 from pathlib import Path
 from typing import Optional
 
@@ -22,24 +25,42 @@ import numpy as np
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
 _SRC = _REPO_ROOT / "native" / "clqr_native.cpp"
-_SO = _REPO_ROOT / "native" / "libclqr_native.so"
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-def _build() -> bool:
-    if _SO.exists() and _SO.stat().st_mtime >= _SRC.stat().st_mtime:
-        return True
+def _cache_dir() -> Path:
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    return Path(base) / "pdp_lqr_tpu"
+
+
+def _build() -> Optional[Path]:
+    """Compile the engine into a source-hash-keyed cache path.
+
+    Keying on content (not mtime) means a fresh checkout rebuilds
+    rather than trusting any stale artifact, and an edited source
+    invalidates automatically.  No -march=native: the cached .so may
+    outlive the machine that built it.
+    """
+    digest = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    so = _cache_dir() / f"libclqr_native-{digest}.so"
+    if so.exists():
+        return so
     try:
+        so.parent.mkdir(parents=True, exist_ok=True)
+        tmp = so.with_suffix(f".tmp{os.getpid()}.so")
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
-             "-fPIC", "-pthread", str(_SRC), "-o", str(_SO)],
+            ["g++", "-O3", "-std=c++17", "-shared",
+             "-fPIC", "-pthread", str(_SRC), "-o", str(tmp)],
             check=True, capture_output=True, timeout=120,
         )
-        return True
+        os.replace(tmp, so)  # atomic: concurrent builders race safely
+        return so
     except (OSError, subprocess.SubprocessError):
-        return False
+        return None
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -47,9 +68,12 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not _SRC.exists() or not _build():
+    if not _SRC.exists():
         return None
-    lib = ctypes.CDLL(str(_SO))
+    so = _build()
+    if so is None:
+        return None
+    lib = ctypes.CDLL(str(so))
     dp = ctypes.POINTER(ctypes.c_double)
     lib.clqr_solve_batch.restype = ctypes.c_int
     lib.clqr_solve_batch.argtypes = [

