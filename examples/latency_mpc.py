@@ -72,6 +72,36 @@ def main():
           f"{K}-iter warm replan ~= {replan_ms:.3f} ms "
           f"({'WITHIN' if replan_ms <= 1.0 else 'OVER'} 1 ms / 1 kHz budget)")
 
+    # ---- real-time dense-operator path (solvers/realtime) ---------------
+    # The 1 kHz production path: the inner solve is one (M, M) MXU
+    # matvec against a per-factorization materialized operator; the
+    # replan is a while_loop with convergence exit.  Timed with the
+    # early exit disabled (eps = 0) so exactly K iterations run.
+    from pdp_lqr_tpu.solvers import realtime
+
+    def rt_settings(iters):
+        return admm.ADMMSettings(
+            max_iter=iters, rho_update_interval=iters, rho=1.0,
+            adaptive_rho=False, eps_abs=0.0, eps_rel=0.0,
+        )
+
+    op = realtime.build_operator(problem, rho=1.0,
+                                 settings=rt_settings(K))
+    state0 = admm.init_state(problem, rt_settings(K))
+    r1 = jax.jit(lambda x, s: realtime.solve(
+        problem, x, op, (), rt_settings(K), s)[0])
+    r2 = jax.jit(lambda x, s: realtime.solve(
+        problem, x, op, (), rt_settings(2 * K), s)[0])
+    tK = _time(r1, x0, state0)
+    t2K = _time(r2, x0, state0)
+    per_iter = (t2K - tK) / K
+    replan_ms = per_iter * K * 1e3
+    fixed_ms = max(tK - per_iter * K, 0.0) * 1e3
+    print(f"realtime operator path: {per_iter*1e6:.1f} us/ADMM-iter -> "
+          f"{K}-iter warm replan ~= {replan_ms:.3f} ms marginal "
+          f"(+{fixed_ms:.3f} ms fixed dispatch) "
+          f"({'WITHIN' if replan_ms <= 1.0 else 'OVER'} 1 ms / 1 kHz budget)")
+
     # ---- fused batch (Pallas kernels) -----------------------------------
     B = args.batch
     bp = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), problem)

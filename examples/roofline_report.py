@@ -1,0 +1,95 @@
+"""Speed-of-light utilization report for the fused Riccati kernels.
+
+Times backward_lanes / forward_lanes on the bench shapes (delta method
+over the remote tunnel), evaluates utils.profiling.riccati_roofline,
+and prints utilization = bound_time / measured_time per kernel — the
+number BASELINE.json asks to record ("speed-of-light utilization of
+Riccati-scan and block-factorization kernels").
+
+Usage: python examples/roofline_report.py [--batch B] [--horizon N]
+"""
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+_fence = jax.jit(lambda w: jnp.all(jnp.isfinite(w)))
+
+
+def _time(fn, args, reps):
+    out = fn(*args)
+    assert bool(_fence(out[0] if isinstance(out, tuple) else out))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    bool(_fence(out[0] if isinstance(out, tuple) else out))
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--horizon", type=int, default=512)
+    ap.add_argument("--reps", type=int, default=10)
+    args = ap.parse_args()
+
+    from pdp_lqr_tpu.ops import pallas_riccati as pr
+    from pdp_lqr_tpu.utils import profiling
+    from __graft_entry__ import _quadrotor_batch
+
+    on_cpu = jax.default_backend() == "cpu"
+    B, N = args.batch, args.horizon
+    problem, its, x0 = _quadrotor_batch(batch=B, N=N)
+    nx, nu, nc = problem.nx, problem.nu, problem.nc
+    prep = pr.prepare_lanes(problem, its, x0, 1e-6)
+    (A, Bm, c, H, h, D, rho, rg, PN, pN, x0_l, _) = prep
+
+    bw = jax.jit(lambda *a: pr.backward_lanes(*a, interpret=on_cpu))
+    t_bw = _time(bw, (A, Bm, c, H, h, D, rho, rg, PN, pN), args.reps)
+    K, d, M, v = bw(A, Bm, c, H, h, D, rho, rg, PN, pN)
+
+    fw = jax.jit(lambda *a: pr.forward_lanes(*a, interpret=on_cpu))
+    t_fw = _time(fw, (M, v, K, d, x0_l), args.reps)
+
+    roof = profiling.riccati_roofline(N, nx, nu, nc, B)
+    bound_ms = max(roof["t_mem_ms"], roof["t_compute_ms"])
+    util_bw = bound_ms / (t_bw * 1e3)
+
+    # Forward kernel roofline: streams (M, v, K, d) in, (ws, xN) out,
+    # ~2(nx^2 + nu nx) FLOPs/stage of matvec work — memory-bound.
+    dtype_bytes = 4
+    fw_words = (nx * nx + nx + nu * nx + nu) + (nx + nu)
+    fw_bytes = fw_words * N * B * dtype_bytes
+    fw_flops = 2 * (nx * nx + nu * nx) * N * B
+    t_mem_fw = fw_bytes / (819.0e9) * 1e3
+    t_cmp_fw = fw_flops / (0.9e12 * 8) * 1e3
+    bound_fw = max(t_mem_fw, t_cmp_fw)
+    util_fw = bound_fw / (t_fw * 1e3)
+
+    print(json.dumps({
+        "shape": f"quadrotor N={N} B={B} f32",
+        "backward": {
+            "measured_ms": round(t_bw * 1e3, 3),
+            "bound_ms": round(bound_ms, 3),
+            "bound": roof["bound"],
+            "utilization_pct": round(100 * util_bw, 1),
+        },
+        "forward": {
+            "measured_ms": round(t_fw * 1e3, 3),
+            "bound_ms": round(bound_fw, 3),
+            "bound": "memory" if t_mem_fw > t_cmp_fw else "compute",
+            "utilization_pct": round(100 * util_fw, 1),
+        },
+    }, indent=1))
+
+
+if __name__ == "__main__":
+    main()

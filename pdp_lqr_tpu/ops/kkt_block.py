@@ -29,14 +29,14 @@ factorization over dense stage blocks:
   the right-hand side, kkt.hpp:207-222); v_N pads u_N.
 
 Factor sweep (the LDL^T): S_0 = D_0;  S_k = D_k - E_{k-1}^T U_{k-1}
-with U_k = S_k^{-1} E_k, each pivot block LU-factored (indefinite —
-the system is symmetric quasi-definite thanks to sigma/rho_dyn, so
-block elimination in stage order is stable; the reference relies on
-QDLDL's fixed elimination order the same way).  Solve = forward sweep
-zhat_k = S_k^{-1}(rhs_k - E_{k-1}^T zhat_{k-1}) + backward sweep
-v_k = zhat_k - U_k v_{k+1}.
+with U_k = S_k^{-1} E_k, each pivot block explicitly inverted
+(indefinite — the system is symmetric quasi-definite thanks to
+sigma/rho_dyn, so block elimination in stage order is stable; the
+reference relies on QDLDL's fixed elimination order the same way).
+Solve = forward sweep zhat_k = S_k^{-1}(rhs_k - E_{k-1}^T zhat_{k-1})
++ backward sweep v_k = zhat_k - U_k v_{k+1}.
 
-The cached (LU(S_k), U_k) play the role of QDLDL's numeric factor; the
+The cached (S_k^{-1}, U_k) play the role of QDLDL's numeric factor; the
 symbolic phase (qdldl_solver.hpp:47-78) disappears entirely — the
 structure is static.  ``solve_cached`` is the analog of re-solving with
 an existing factor (new rhs only).
@@ -48,10 +48,8 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
-import jax.scipy.linalg as jsl
-
 from pdp_lqr_tpu.config import f32_matmul_precision
-from pdp_lqr_tpu.ops import riccati
+from pdp_lqr_tpu.ops import linalg, riccati
 from pdp_lqr_tpu.problem import LQRProblem, StageParams
 
 
@@ -60,13 +58,16 @@ from pdp_lqr_tpu.problem import LQRProblem, StageParams
 class KKTFactors:
     """Numeric factor cache of the block-tridiagonal KKT matrix.
 
-    Slu/Spiv: LU factors of the pivot blocks S_k, (N+1, m, m)/(N+1, m).
+    Sinv: explicit inverses of the pivot blocks S_k, (N+1, m, m) —
+      cached as inverses (not LU factors) so every resolve is pure
+      batched matmul on the MXU instead of XLA's loop-lowered
+      lu_solve; the blocks are symmetric quasi-definite (sigma /
+      rho_dyn regularized), so the inverse is well-conditioned.
     U: S_k^{-1} E_k for k = 0..N-1, (N, m, m).
     E: the super-diagonal blocks (needed by the forward sweep).
     """
 
-    Slu: jax.Array
-    Spiv: jax.Array
+    Sinv: jax.Array
     U: jax.Array
     E: jax.Array
 
@@ -150,30 +151,42 @@ def build_rhs(problem: LQRProblem, params: StageParams, rho, x0):
     return rhs
 
 
+# Pivot blocks up to this size invert via the unrolled branch-free GE
+# (straight-line VPU code in the scan body); larger blocks fall back to
+# XLA's LU — its sequential lowering is paid once per rho-update, and
+# the resolve path stays matmul-only either way.
+UNROLL_INV_MAX = 32
+
+
+def _invert(S):
+    m = S.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(m, dtype=S.dtype), S.shape)
+    if m <= UNROLL_INV_MAX:
+        return linalg.ge_solve_unrolled(S, eye)
+    return jnp.linalg.solve(S, eye)
+
+
 @f32_matmul_precision
 def factorize(D, E) -> KKTFactors:
     """Block-Thomas factor sweep (the batched LDL^T numeric factor).
 
     Analog of QDLDL_factor (qdldl_solver.hpp:88-109) on the static
-    block-tridiagonal structure.
+    block-tridiagonal structure.  Pivot-block inverses are materialized
+    so the whole solve path (and the scan body's own U update) runs on
+    matmuls rather than loop-lowered triangular solves.
     """
-    m = D.shape[-1]
+    Sinv0 = _invert(D[0])
 
-    S0 = D[0]
-    lu0, piv0 = jsl.lu_factor(S0)
-
-    def step(carry, inp):
-        lu_prev, piv_prev = carry
+    def step(Sinv_prev, inp):
         Dk, Ekm1 = inp
-        U_prev = jsl.lu_solve((lu_prev, piv_prev), Ekm1)
+        U_prev = Sinv_prev @ Ekm1
         Sk = Dk - jnp.swapaxes(Ekm1, -1, -2) @ U_prev
-        lu, piv = jsl.lu_factor(Sk)
-        return (lu, piv), (lu, piv, U_prev)
+        Sinv = _invert(Sk)
+        return Sinv, (Sinv, U_prev)
 
-    (_, _), (lus, pivs, Us) = jax.lax.scan(step, (lu0, piv0), (D[1:], E))
-    Slu = jnp.concatenate([lu0[None], lus], axis=0)
-    Spiv = jnp.concatenate([piv0[None], pivs], axis=0)
-    return KKTFactors(Slu=Slu, Spiv=Spiv, U=Us, E=E)
+    _, (Sinvs, Us) = jax.lax.scan(step, Sinv0, (D[1:], E))
+    Sinv = jnp.concatenate([Sinv0[None], Sinvs], axis=0)
+    return KKTFactors(Sinv=Sinv, U=Us, E=E)
 
 
 @f32_matmul_precision
@@ -181,17 +194,17 @@ def solve_cached(fac: KKTFactors, rhs):
     """Forward + backward substitution with cached factors.
 
     Analog of QDLDL_solve (qdldl_solver.hpp:111-151): new rhs, no
-    numeric refactorization.
+    numeric refactorization.  Matmul-only (cached inverses).
     """
     def fwd(zhat_prev, inp):
-        lu, piv, Ekm1, rk = inp
+        Sinv, Ekm1, rk = inp
         r = rk - (jnp.swapaxes(Ekm1, -1, -2) @ zhat_prev[..., None])[..., 0]
-        zhat = jsl.lu_solve((lu, piv), r[..., None])[..., 0]
+        zhat = (Sinv @ r[..., None])[..., 0]
         return zhat, zhat
 
-    z0 = jsl.lu_solve((fac.Slu[0], fac.Spiv[0]), rhs[0][..., None])[..., 0]
+    z0 = (fac.Sinv[0] @ rhs[0][..., None])[..., 0]
     _, zhats = jax.lax.scan(
-        fwd, z0, (fac.Slu[1:], fac.Spiv[1:], fac.E, rhs[1:])
+        fwd, z0, (fac.Sinv[1:], fac.E, rhs[1:])
     )
     zhat = jnp.concatenate([z0[None], zhats], axis=0)
 
@@ -219,3 +232,21 @@ def extract_ws(v, problem: LQRProblem, x0):
 def extract_lambdas(v, problem: LQRProblem):
     """Dynamics duals lambda_1..lambda_N, (N, nx)."""
     return v[1:, : problem.nx]
+
+
+def extract_constraint_duals(ws, problem: LQRProblem, params: StageParams,
+                             rho):
+    """Per-row constraint duals y, (N+1, nc) — the variables the block
+    elimination removed.
+
+    The reference's KKT carries y explicitly (variable ordering
+    qdldl_solver.hpp:112-140) with row equations D_k w_k - rho^{-1} y_k
+    = g_k (the -rho^{-1} diagonal block, kkt.hpp:198-199), so the
+    eliminated duals are recovered EXACTLY from the primal solution:
+
+        y_k = rho_k o (D_k w_k - g_k)
+
+    Padded rows (rho = 0) return 0.
+    """
+    Dw = jnp.einsum("kcz,kz->kc", problem.D, ws)
+    return rho * (Dw - params.g)

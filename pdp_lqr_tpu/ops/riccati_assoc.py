@@ -101,8 +101,16 @@ def leaf_elements(problem: LQRProblem, params: StageParams, rho):
     return AeN, beN, CeN, eeN, JeN
 
 
-def combine(e_early, e_late):
-    """Associative composition of value elements (earlier, later)."""
+def combine(e_early, e_late, solve=jnp.linalg.solve):
+    """Associative composition of value elements (earlier, later).
+
+    ``solve`` picks the (I + C1 J2) solver: the batched-LU default is
+    safe anywhere; ``linalg.ge_solve_unrolled`` compiles to straight-
+    line VPU code and is used where the combine body appears only
+    once or a few times in the program (see ``_suffix_scan_blocked`` —
+    replicating the unrolled body into every level of a full
+    associative-scan tree crashed the TPU compiler at N = 512).
+    """
     A1, b1, C1, n1, J1 = e_early
     A2, b2, C2, n2, J2 = e_late
     nx = A1.shape[-1]
@@ -110,15 +118,10 @@ def combine(e_early, e_late):
 
     IpCJ = eye + C1 @ J2
     # T X for X in [A1 | C1 | b1 + C1 eta2]; T = (I + C1 J2)^{-1}.
-    # NOTE: jnp.linalg.solve on purpose — an unrolled elimination here
-    # is replicated into every level of the associative-scan tree
-    # (~2 log2 N copies of a ~nx^3-op body) and was measured to crash
-    # the TPU compiler at N=512; the batched LU amortizes fine because
-    # each scan level solves all its elements in one batched call.
     rhs = jnp.concatenate(
         [A1, C1, (b1 + (C1 @ n2[..., None])[..., 0])[..., None]], axis=-1
     )
-    TX = jnp.linalg.solve(IpCJ, rhs)
+    TX = solve(IpCJ, rhs)
     TA1 = TX[..., :nx]
     TC1 = TX[..., nx : 2 * nx]
     Tb = TX[..., 2 * nx]
@@ -127,7 +130,7 @@ def combine(e_early, e_late):
     rhsT = jnp.concatenate(
         [J2 @ A1, (n2 - (J2 @ b1[..., None])[..., 0])[..., None]], axis=-1
     )
-    TTY = jnp.linalg.solve(jnp.swapaxes(IpCJ, -1, -2), rhsT)
+    TTY = solve(jnp.swapaxes(IpCJ, -1, -2), rhsT)
     TJ2A1 = TTY[..., :nx]
     Tn = TTY[..., nx]
 
@@ -144,15 +147,96 @@ def combine(e_early, e_late):
     return A3, b3, C3, n3, J3
 
 
+def _identity_elements(n: int, nx: int, dt):
+    """n copies of the combine identity (A=I, b=0, C=0, eta=0, J=0)."""
+    eye = jnp.broadcast_to(jnp.eye(nx, dtype=dt), (n, nx, nx))
+    zm = jnp.zeros((n, nx, nx), dt)
+    zv = jnp.zeros((n, nx), dt)
+    return eye, zv, zm, zv, zm
+
+
+# In-block length for the blocked suffix scan.  Chosen so the
+# sequential phase (depth L, batched over N/L blocks AND any vmap
+# batch) stays shorter than the LU-lowered tree it replaces while the
+# unrolled-GE combine body appears in the program only twice (scan
+# body + fix-up), not once per tree level.
+SCAN_BLOCK = 16
+
+
+def _suffix_scan_blocked(elems, block: int = SCAN_BLOCK):
+    """Inclusive suffix combine of value elements, TPU-shaped.
+
+    Three phases (classic blocked scan):
+      1. in-block suffix scan — ``lax.scan`` over ``block`` steps,
+         batched across N/block blocks; combine body (with the
+         *unrolled* GE solve) appears once.
+      2. associative scan over the N/block block aggregates — only
+         log2(N/block) levels, each a small batched-LU combine.
+      3. one batched fix-up combining every in-block suffix with the
+         aggregate of all later blocks.
+
+    Depth ~ block + log2(N/block) with straight-line vector bodies —
+    measured faster than both the pure LU tree (slow levels) and the
+    pure unrolled tree (uncompilable at N = 512).
+    """
+    N1 = elems[0].shape[0]
+    nx = elems[0].shape[-1]
+    dt = elems[0].dtype
+    if N1 <= block:
+        return jax.lax.associative_scan(
+            lambda a, b: combine(b, a), elems, axis=0, reverse=True
+        )
+    nb = -(-N1 // block)
+    pad = nb * block - N1
+    if pad:
+        ident = _identity_elements(pad, nx, dt)
+        elems = tuple(
+            jnp.concatenate([e, i], axis=0) for e, i in zip(elems, ident)
+        )
+    blocked = tuple(
+        e.reshape((nb, block) + e.shape[1:]) for e in elems
+    )
+
+    # Phase 1: suffix within each block (carry = suffix of later stages
+    # in the block), unrolled-GE combine once in the scan body.
+    ident1 = _identity_elements(nb, nx, dt)
+
+    def step(carry, stage):
+        out = combine(stage, carry, solve=linalg.ge_solve_unrolled)
+        return out, out
+
+    swap = lambda t: tuple(jnp.swapaxes(e, 0, 1) for e in t)
+    _, suffixes = jax.lax.scan(step, ident1, swap(blocked), reverse=True)
+    suffixes = swap(suffixes)                   # (nb, block, ...)
+
+    # Phase 2: aggregates = in-block suffix at position 0; exclusive
+    # suffix over blocks (aggregate of strictly later blocks).
+    aggs = tuple(s[:, 0] for s in suffixes)
+    agg_suf = jax.lax.associative_scan(
+        lambda a, b: combine(b, a), aggs, axis=0, reverse=True
+    )
+    right = tuple(
+        jnp.concatenate([a[1:], i], axis=0)
+        for a, i in zip(agg_suf, _identity_elements(1, nx, dt))
+    )
+
+    # Phase 3: one batched fix-up across all (nb, block) positions.
+    right_b = tuple(
+        jnp.broadcast_to(r[:, None], s.shape)
+        for r, s in zip(right, suffixes)
+    )
+    full = combine(suffixes, right_b, solve=linalg.ge_solve_unrolled)
+    out = tuple(
+        f.reshape((nb * block,) + f.shape[2:])[:N1] for f in full
+    )
+    return out
+
+
 @f32_matmul_precision
 def cost_to_go(problem: LQRProblem, params: StageParams, rho):
-    """All cost-to-go pairs (P_k, p_k), k = 0..N, in O(log N) depth."""
+    """All cost-to-go pairs (P_k, p_k), k = 0..N, in near-log depth."""
     elems = leaf_elements(problem, params, rho)
-    # reverse=True calls fn(suffix-accumulator, earlier-element); flip
-    # so ``combine`` always sees (earlier, later) in time order.
-    out = jax.lax.associative_scan(
-        lambda a, b: combine(b, a), elems, axis=0, reverse=True
-    )
+    out = _suffix_scan_blocked(elems)
     _, _, _, eta, J = out
     return J, -eta
 

@@ -1,0 +1,312 @@
+"""Pod-scale conic ADMM: the full outer loop under shard_map.
+
+Composes the ADMM iteration (solvers/admm.py math) with the multi-chip
+fused-PDP inner solve (parallel/pdp_sharded_fused.segment_solve_local)
+on a ("batch", "time") mesh:
+
+  * problem instances shard over "batch" (pure data parallelism);
+  * the horizon shards over "time" exactly like the reference's
+    OpenMP segments (lqr_solver_parallel.hpp:70-146), with the
+    (P, F, C, p, f) boundary all-gather riding ICI once per iteration;
+  * projections and dual updates are stage-local (zero collectives);
+  * per-instance residual maxima reduce with one pmax over "time";
+  * per-instance adaptive rho needs no refactor bookkeeping (the fused
+    kernels factor in-register every iteration).
+
+Iterate layout inside the loop: stage rows (w, z, y) live as local
+(Bl, Nl, ...) shards; terminal rows are replicated over "time" (every
+device computes the identical terminal update from the psum'd terminal
+state — cheaper than a dedicated exchange for one row of data).
+
+This is BASELINE config #4 at fleet scale: the whole constrained conic
+solve, not just the inner KKT step, scales across the mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from pdp_lqr_tpu.config import f32_matmul_precision
+from pdp_lqr_tpu.ops import projections
+from pdp_lqr_tpu.parallel.pdp_sharded_fused import segment_solve_local
+from pdp_lqr_tpu.problem import LQRProblem
+from pdp_lqr_tpu.solvers.admm import ADMMInfo, ADMMSettings
+
+_CACHE: dict = {}
+
+
+def _build(mesh: Mesh, nu: int, nc: int,
+           cones: Tuple[projections.ConeSpec, ...],
+           settings: ADMMSettings, has_shift: bool, interpret: bool):
+    S = mesh.shape["time"]
+    sigma = settings.sigma
+    alpha = settings.alpha
+
+    @f32_matmul_precision
+    def body(A, B, c, H, h, D, lb, ub, shift,
+             HN, hN, DN, lbN, ubN, shiftN,
+             x0, w0, z0, y0, wN0, zN0, yN0, rho0):
+        # Stage shards (Bl, Nl, ...); terminal blocks (Bl, ...)
+        # replicated over "time"; rho0 (Bl,).
+        dt = A.dtype
+        nx = A.shape[-1]
+        nz = nu + nx
+        Bl, Nl = A.shape[0], A.shape[1]
+
+        lanes3 = lambda x: jnp.transpose(x, (1, 2, 3, 0))
+        lanes2 = lambda x: jnp.transpose(x, (1, 2, 0))
+
+        # Static lanes layouts (live across the whole loop).
+        A_l, B_l, c_l = lanes3(A), lanes3(B), lanes2(c)
+        Hs_l = lanes3(H + sigma * jnp.eye(nz, dtype=dt))
+        D_l = lanes3(D)
+        h_l = lanes2(h)
+        HNs = HN[:, nu:, nu:] + sigma * jnp.eye(nx, dtype=dt)
+        DNx = DN[:, :, nu:]
+
+        mask = jnp.any(D != 0, axis=-1).astype(dt)       # (Bl, Nl, nc)
+        maskN = jnp.any(DN != 0, axis=-1).astype(dt)     # (Bl, nc)
+        for off, dim in cones:
+            blk = jnp.any(mask[..., off:off + dim] > 0, axis=-1,
+                          keepdims=True).astype(dt)
+            mask = mask.at[..., off:off + dim].set(
+                jnp.broadcast_to(blk, mask[..., off:off + dim].shape))
+            blkN = jnp.any(maskN[..., off:off + dim] > 0, axis=-1,
+                           keepdims=True).astype(dt)
+            maskN = maskN.at[..., off:off + dim].set(
+                jnp.broadcast_to(blkN, maskN[..., off:off + dim].shape))
+
+        Dw = lambda w: jnp.einsum("bkcz,bkz->bkc", D, w)
+        DwN = lambda w: jnp.einsum("bcz,bz->bc", DN, w)
+        DTv = lambda vc: jnp.einsum("bkcz,bkc->bkz", D, vc)
+        DTvN = lambda vc: jnp.einsum("bcz,bc->bz", DN, vc)
+
+        def project(v, lo, hi, sh):
+            out = jnp.clip(v, lo, hi)
+            for off, dim in cones:
+                blk = v[..., off:off + dim]
+                if has_shift:
+                    s = sh[..., off:off + dim]
+                    blk = projections.project_soc(blk + s, axis=-1) - s
+                else:
+                    blk = projections.project_soc(blk, axis=-1)
+                out = out.at[..., off:off + dim].set(blk)
+            return out
+
+        pmax_t = lambda x: jax.lax.pmax(x, "time")
+
+        def iteration(carry, _):
+            w, wN, z, zN, y, yN, rho, stats = carry
+            k_it, iter_conv, _, _, _ = stats
+            rho_b = rho[:, None, None]
+            rho_vec = rho_b * mask                        # (Bl, Nl, nc)
+            rhoN_vec = rho[:, None] * maskN
+            inv_rho = mask / jnp.maximum(rho_b, 1e-30)
+            inv_rhoN = maskN / jnp.maximum(rho[:, None], 1e-30)
+            g = z - inv_rho * y
+            gN = zN - inv_rhoN * yN
+
+            h_t = h - sigma * w                           # (Bl, Nl, nz)
+            hN_t = hN.at[:, :nu].set(0.0) - sigma * (
+                wN.at[:, :nu].set(0.0))
+            # Terminal penalty fold in x-block form (same math as
+            # pdp_sharded_fused.fold_terminal, on the pre-sliced DNx).
+            PNb = HNs + jnp.einsum("bci,bc,bcj->bij", DNx, rhoN_vec, DNx)
+            pNb = hN_t[:, nu:] - jnp.einsum(
+                "bci,bc->bi", DNx, rhoN_vec * gN)
+
+            ws_l, xN = segment_solve_local(
+                S, interpret,
+                A_l, B_l, c_l, Hs_l, lanes2(h_t), D_l,
+                lanes2(rho_vec), lanes2(rho_vec * g), PNb, pNb, x0,
+            )
+            w_t = jnp.transpose(ws_l, (2, 0, 1))          # (Bl, Nl, nz)
+            wN_t = jnp.concatenate(
+                [jnp.zeros((Bl, nu), dt), xN], axis=-1)
+
+            z_t, zN_t = Dw(w_t), DwN(wN_t)
+            w_new = alpha * w_t + (1.0 - alpha) * w
+            wN_new = alpha * wN_t + (1.0 - alpha) * wN
+            v = alpha * z_t + (1.0 - alpha) * z + inv_rho * y
+            vN = alpha * zN_t + (1.0 - alpha) * zN + inv_rhoN * yN
+            z_new = project(v, lb, ub, shift) * mask
+            zN_new = project(vN, lbN, ubN, shiftN) * maskN
+            y_new = y + rho_vec * (
+                alpha * z_t + (1.0 - alpha) * z - z_new)
+            yN_new = yN + rhoN_vec * (
+                alpha * zN_t + (1.0 - alpha) * zN - zN_new)
+
+            # Residuals: local partial maxima + one pmax over "time".
+            # Terminal rows are replicated, so folding them into the
+            # local max before the pmax is exact.
+            am = lambda x: jnp.max(jnp.abs(x), axis=(1, 2))      # (Bl,)
+            amN = lambda x: jnp.max(jnp.abs(x), axis=-1)
+            r_prim = pmax_t(jnp.maximum(
+                am((Dw(w_new) - z_new) * mask),
+                amN((DwN(wN_new) - zN_new) * maskN)))
+            dw = w - w_t
+            dwN = wN - wN_t
+            Hdw = jnp.einsum("bkij,bkj->bki", H, dw)
+            HdwN = jnp.einsum("bij,bj->bi", HN[:, nu:, nu:], dwN[:, nu:])
+            zt_term = rho_vec * (
+                (alpha - 1.0) * (z_t - z) + (z - z_new))
+            ztN_term = rhoN_vec * (
+                (alpha - 1.0) * (zN_t - zN) + (zN - zN_new))
+            dvec = (1.0 - alpha) * Hdw + sigma * dw + DTv(zt_term)
+            dvecN = jnp.concatenate([
+                jnp.zeros((Bl, nu), dt),
+                (1.0 - alpha) * HdwN + sigma * dwN[:, nu:],
+            ], axis=-1) + DTvN(ztN_term)
+            r_dual = pmax_t(jnp.maximum(am(dvec), amN(dvecN)))
+
+            Hw_new = jnp.einsum("bkij,bkj->bki", H, w_new)
+            HwN_new = jnp.einsum(
+                "bij,bj->bi", HN[:, nu:, nu:], wN_new[:, nu:])
+            prim_scale = pmax_t(jnp.maximum(
+                jnp.maximum(am(Dw(w_new) * mask), am(z_new)),
+                jnp.maximum(amN(DwN(wN_new) * maskN), amN(zN_new))))
+            dual_scale = pmax_t(jnp.maximum(
+                jnp.maximum(am(Hw_new), amN(HwN_new)),
+                jnp.maximum(
+                    jnp.maximum(am(DTv(y_new)), amN(DTvN(yN_new))),
+                    jnp.maximum(am(h), amN(hN)))))
+            conv = (r_prim <= settings.eps_abs
+                    + settings.eps_rel * prim_scale) \
+                & (r_dual <= settings.eps_abs
+                   + settings.eps_rel * dual_scale)
+
+            k_next = k_it + 1
+            iter_conv = jnp.where(conv & (iter_conv < 0),
+                                  k_next, iter_conv)
+            if settings.adaptive_rho:
+                tiny = jnp.asarray(1e-12, dt)
+                rp_rel = r_prim / jnp.maximum(prim_scale, tiny)
+                rd_rel = r_dual / jnp.maximum(dual_scale, tiny)
+                ratio = jnp.sqrt(jnp.maximum(rp_rel, tiny)
+                                 / jnp.maximum(rd_rel, tiny))
+                interval = max(1, settings.rho_update_interval)
+                upd = ((ratio > 5.0) | (ratio < 0.2)) \
+                    & (k_next % interval == 0)
+                rho = jnp.where(
+                    upd,
+                    jnp.clip(rho * ratio, settings.rho_min,
+                             settings.rho_max),
+                    rho)
+
+            stats = (k_next, iter_conv, r_prim, r_dual, conv)
+            carry = (w_new, wN_new, z_new, zN_new, y_new, yN_new,
+                     rho, stats)
+            return carry, None
+
+        stats0 = (
+            jnp.asarray(0, jnp.int32), jnp.full((Bl,), -1, jnp.int32),
+            jnp.full((Bl,), jnp.inf, dt), jnp.full((Bl,), jnp.inf, dt),
+            jnp.zeros((Bl,), bool),
+        )
+        carry0 = (w0, wN0, z0, zN0, y0, yN0, rho0, stats0)
+        carry, _ = jax.lax.scan(
+            iteration, carry0, None, length=settings.max_iter)
+        w, wN, z, zN, y, yN, rho, stats = carry
+        k_it, iter_conv, r_prim, r_dual, conv = stats
+        return (w, wN, z, zN, y, yN, rho,
+                jnp.broadcast_to(k_it, (Bl,)), iter_conv,
+                r_prim, r_dual, conv)
+
+    stage = P("batch", "time")
+    term = P("batch")
+    in_specs = (
+        (stage,) * 8                              # A B c H h D lb ub
+        + (P("time") if has_shift else P(),)      # shift (stage rows,
+                                                  #  unbatched)
+        + (term,) * 5                             # HN hN DN lbN ubN
+        + (P(),)                                  # shiftN (unbatched)
+        + (term,)                                 # x0
+        + (stage, stage, stage)                   # w0 z0 y0
+        + (term, term, term)                      # wN0 zN0 yN0
+        + (term,)                                 # rho0
+    )
+    out_specs = (
+        stage, term, stage, term, stage, term, term,
+        term, term, term, term, term,
+    )
+    f = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                      out_specs=out_specs, check_vma=False)
+    return jax.jit(f)
+
+
+def solve(
+    mesh: Mesh,
+    problem: LQRProblem,
+    x0,
+    cones: Sequence[projections.ConeSpec] = (),
+    settings: ADMMSettings = ADMMSettings(),
+    state=None,
+    soc_shift=None,
+    interpret: bool = False,
+):
+    """Pod-sharded conic ADMM solve of a batch of problems.
+
+    problem/x0: batched pytrees (leading axis B divisible by the
+    "batch" mesh size; horizon N divisible by the "time" size; the
+    local batch shard must satisfy Pallas lane alignment on hardware).
+    ``state`` warm-starts from a previous solve's returned state.
+
+    Returns (ws (B, N+1, nz), ADMMState (batched), ADMMInfo (batched)).
+    """
+    from pdp_lqr_tpu.solvers.admm import ADMMState
+
+    cones = tuple(cones)
+    dt = problem.H.dtype
+    Bb = problem.h.shape[0]
+    nu, nc, nx = problem.nu, problem.nc, problem.nx
+    has_shift = soc_shift is not None
+
+    key = (mesh, nu, nc, cones, settings, has_shift, interpret)
+    if key not in _CACHE:
+        _CACHE[key] = _build(mesh, nu, nc, cones, settings, has_shift,
+                             interpret)
+    fn = _CACHE[key]
+
+    if state is None:
+        w0 = jnp.zeros(problem.h.shape, dt)
+        z0 = jnp.zeros(problem.e_lb.shape, dt)
+        y0 = jnp.zeros(problem.e_lb.shape, dt)
+        rho0 = jnp.full((Bb,), settings.rho, dt)
+    else:
+        w0, z0, y0 = state.w, state.z, state.y
+        rho0 = jnp.broadcast_to(jnp.asarray(state.rho, dt), (Bb,))
+
+    if has_shift:
+        shift = jnp.asarray(soc_shift, dt)
+        shift_s, shift_N = shift[:-1], shift[-1]
+    else:
+        z_sh = jnp.zeros((problem.N, nc), dt)
+        shift_s, shift_N = z_sh, jnp.zeros((nc,), dt)
+
+    out = fn(
+        problem.A, problem.B, problem.c,
+        problem.H[:, :-1], problem.h[:, :-1], problem.D[:, :-1],
+        problem.e_lb[:, :-1], problem.e_ub[:, :-1], shift_s,
+        problem.H[:, -1], problem.h[:, -1], problem.D[:, -1],
+        problem.e_lb[:, -1], problem.e_ub[:, -1], shift_N,
+        jnp.asarray(x0, dt),
+        w0[:, :-1], z0[:, :-1], y0[:, :-1],
+        w0[:, -1], z0[:, -1], y0[:, -1],
+        rho0,
+    )
+    (w, wN, z, zN, y, yN, rho,
+     k_it, iter_conv, r_prim, r_dual, conv) = out
+
+    cat = lambda s, t: jnp.concatenate([s, t[:, None]], axis=1)
+    w_full = cat(w, wN)
+    z_full = cat(z, zN)
+    y_full = cat(y, yN)
+    info = ADMMInfo(
+        iterations=k_it, r_prim=r_prim, r_dual=r_dual, converged=conv,
+        iter_converged=jnp.where(iter_conv < 0, k_it, iter_conv),
+    )
+    return w_full, ADMMState(w=w_full, z=z_full, y=y_full, rho=rho), info

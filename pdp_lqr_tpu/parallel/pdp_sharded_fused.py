@@ -28,80 +28,98 @@ from pdp_lqr_tpu.problem import ADMMIterates, LQRProblem, make_stage_params
 _CACHE: dict = {}
 
 
+def segment_solve_local(S: int, interpret: bool,
+                        A_l, B_l, c_l, H_l, h_l, D_l, rho_l, rg_l,
+                        PNb, pNb, x0):
+    """One time-device's share of the fused-PDP inner solve.
+
+    Runs INSIDE a shard_map body with a "time" axis of size S.  Lanes-
+    layout local stage shards (Nl, ..., Bl); PNb/pNb (Bl, nx[, nx]) is
+    the already-folded terminal cost (used only by the last device);
+    x0 (Bl, nx).  Returns (ws_l (Nl, nz, Bl), xN (Bl, nx) — psum'd so
+    every device holds the terminal state).
+
+    Shared by the one-shot sharded solve below and the sharded ADMM
+    loop (parallel/admm_sharded.py).
+    """
+    i = jax.lax.axis_index("time")
+    is_last = i == S - 1
+    nx = A_l.shape[1]
+    dt = A_l.dtype
+    Bl = A_l.shape[-1]
+
+    w = is_last.astype(dt)
+    Pi = w * jnp.moveaxis(PNb, 0, -1)
+    pi = w * jnp.moveaxis(pNb, 0, -1)
+    eye = jnp.eye(nx, dtype=dt)[:, :, None]
+    Fi = jnp.broadcast_to(eye, (nx, nx, Bl))
+    Ci = jnp.zeros((nx, nx, Bl), dt)
+    fi = jnp.zeros((nx, Bl), dt)
+
+    K, d, M, v, Gp, P0, p0, F0, C0, f0 = pr.backward_pdp_lanes(
+        A_l, B_l, c_l, H_l, h_l, D_l, rho_l, rg_l,
+        Pi, pi, Fi, Ci, fi, interpret=interpret,
+    )
+
+    # Boundary handoff over ICI; condensed solve replicated.
+    gath = lambda x: jnp.moveaxis(
+        jax.lax.all_gather(x, "time", axis=0), -1, 1
+    )  # (S, ..., Bl) -> (S, Bl, ...) -> moveaxis: (S, Bl, a, b)
+    Pg = jnp.swapaxes(gath(P0), 0, 1)  # (Bl, S, nx, nx)
+    Fg = jnp.swapaxes(gath(F0), 0, 1)
+    Cg = jnp.swapaxes(gath(C0), 0, 1)
+    pg = jnp.swapaxes(gath(p0), 0, 1)  # (Bl, S, nx)
+    fg = jnp.swapaxes(gath(f0), 0, 1)
+
+    fac = condensed.cholesky_backward(Pg, Fg, Cg)
+    xhat, uhat = condensed.cholesky_forward(fac, pg, fg, x0)
+
+    xh_i = jnp.moveaxis(jnp.take(xhat, i, axis=1), 0, -1)  # (nx, Bl)
+    uh_i = jnp.moveaxis(jnp.take(uhat, i, axis=1), 0, -1)
+
+    # Boundary-dual feedforward correction (zero on the last
+    # segment, where uhat is identically zero).
+    dd = jnp.einsum("tuxb,xb->tub", Gp, uh_i)
+    d_adj = d + dd
+    v_adj = v + jnp.einsum("txub,tub->txb", B_l, dd)
+
+    ws_l, x_end = pr.forward_lanes(M, v_adj, K, d_adj, xh_i,
+                                   interpret=interpret)
+    xN = jnp.moveaxis(x_end, -1, 0)                  # (Bl, nx)
+    xN = jax.lax.psum(
+        jnp.where(is_last, xN, jnp.zeros_like(xN)), "time"
+    )
+    return ws_l, xN
+
+
+def fold_terminal(nu: int, HN, hN, DN, rhoN, gN):
+    """Penalty-fold the terminal cost (lqr_kernel_parallel.hpp:51-67,
+    P-form): (Bl, ...) batched arrays -> (PNb, pNb)."""
+    PNb = HN[:, nu:, nu:]
+    pNb = hN[:, nu:]
+    if DN.shape[1] > 0:
+        DNx = DN[:, :, nu:]
+        PNb = PNb + jnp.einsum("bci,bc,bcj->bij", DNx, rhoN, DNx)
+        pNb = pNb - jnp.einsum("bci,bc->bi", DNx, rhoN * gN)
+    return PNb, pNb
+
+
 def _build(mesh: Mesh, nu: int, interpret: bool):
     S = mesh.shape["time"]
 
     @f32_matmul_precision
     def body(A, B, c, H, h, D, rho, g, HN, hN, DN, rhoN, gN, x0):
         # Local shapes: stage args (Bl, Nl, ...); terminal args (Bl, ...).
-        i = jax.lax.axis_index("time")
-        is_last = i == S - 1
-        nx = A.shape[-1]
-        dt = A.dtype
-        Bl = A.shape[0]
-
         lanes3 = lambda x: jnp.transpose(x, (1, 2, 3, 0))  # (Nl,a,b,Bl)
         lanes2 = lambda x: jnp.transpose(x, (1, 2, 0))     # (Nl,a,Bl)
 
-        A_l = lanes3(A)
-        B_l = lanes3(B)
-        c_l = lanes2(c)
-        H_l = lanes3(H)
-        h_l = lanes2(h)
-        D_l = lanes3(D)
-        rho_l = lanes2(rho)
-        rg_l = lanes2(rho * g)
-
-        # Terminal fold; only the last time-device's init uses it
-        # (lqr_kernel_parallel.hpp:51-67 in P-form).
-        PNb = HN[:, nu:, nu:]
-        pNb = hN[:, nu:]
-        if D.shape[2] > 0:
-            DNx = DN[:, :, nu:]
-            PNb = PNb + jnp.einsum("bci,bc,bcj->bij", DNx, rhoN, DNx)
-            pNb = pNb - jnp.einsum("bci,bc->bi", DNx, rhoN * gN)
-        w = is_last.astype(dt)
-        Pi = w * jnp.moveaxis(PNb, 0, -1)
-        pi = w * jnp.moveaxis(pNb, 0, -1)
-        eye = jnp.eye(nx, dtype=dt)[:, :, None]
-        Fi = jnp.broadcast_to(eye, (nx, nx, Bl))
-        Ci = jnp.zeros((nx, nx, Bl), dt)
-        fi = jnp.zeros((nx, Bl), dt)
-
-        K, d, M, v, Gp, P0, p0, F0, C0, f0 = pr.backward_pdp_lanes(
-            A_l, B_l, c_l, H_l, h_l, D_l, rho_l, rg_l,
-            Pi, pi, Fi, Ci, fi, interpret=interpret,
+        PNb, pNb = fold_terminal(nu, HN, hN, DN, rhoN, gN)
+        ws_l, xN = segment_solve_local(
+            S, interpret,
+            lanes3(A), lanes3(B), lanes2(c), lanes3(H), lanes2(h),
+            lanes3(D), lanes2(rho), lanes2(rho * g), PNb, pNb, x0,
         )
-
-        # Boundary handoff over ICI; condensed solve replicated.
-        gath = lambda x: jnp.moveaxis(
-            jax.lax.all_gather(x, "time", axis=0), -1, 1
-        )  # (S, ..., Bl) -> (S, Bl, ...) -> moveaxis: (S, Bl, a, b)
-        Pg = jnp.swapaxes(gath(P0), 0, 1)  # (Bl, S, nx, nx)
-        Fg = jnp.swapaxes(gath(F0), 0, 1)
-        Cg = jnp.swapaxes(gath(C0), 0, 1)
-        pg = jnp.swapaxes(gath(p0), 0, 1)  # (Bl, S, nx)
-        fg = jnp.swapaxes(gath(f0), 0, 1)
-
-        fac = condensed.cholesky_backward(Pg, Fg, Cg)
-        xhat, uhat = condensed.cholesky_forward(fac, pg, fg, x0)
-
-        xh_i = jnp.moveaxis(jnp.take(xhat, i, axis=1), 0, -1)  # (nx, Bl)
-        uh_i = jnp.moveaxis(jnp.take(uhat, i, axis=1), 0, -1)
-
-        # Boundary-dual feedforward correction (zero on the last
-        # segment, where uhat is identically zero).
-        dd = jnp.einsum("tuxb,xb->tub", Gp, uh_i)
-        d_adj = d + dd
-        v_adj = v + jnp.einsum("txub,tub->txb", B_l, dd)
-
-        ws_l, x_end = pr.forward_lanes(M, v_adj, K, d_adj, xh_i,
-                                       interpret=interpret)
         ws_local = jnp.transpose(ws_l, (2, 0, 1))        # (Bl, Nl, nz)
-        xN = jnp.moveaxis(x_end, -1, 0)                  # (Bl, nx)
-        xN = jax.lax.psum(
-            jnp.where(is_last, xN, jnp.zeros_like(xN)), "time"
-        )
         return ws_local, xN
 
     stage_spec = P("batch", "time")

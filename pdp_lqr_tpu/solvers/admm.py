@@ -56,6 +56,7 @@ class ADMMSettings:
     rho_max: float = 1e6
     eps_abs: float = 1e-6
     eps_rel: float = 1e-6
+    exact_dual: bool = True       # OSQP 3.4 dual residual vs cheap proxy
     backend: str = "seq"          # seq | assoc | pdp | kkt
     num_segments: int = 4         # pdp backend only
     rho_dyn: float = 1e-6         # kkt backend only
@@ -217,32 +218,60 @@ def solve(
         z_new = z_new * mask
         y_new = y + rho_vec * (alpha * z_t + (1.0 - alpha) * z - z_new)
 
-        # Residuals (OSQP sec. 3.4): primal on the updated pair,
-        # dual via the z-step change.
+        # Residuals (OSQP sec. 3.4): primal on the updated pair.
         Dw_new = Dw(w_new)
         r_prim = jnp.max(jnp.abs((Dw_new - z_new) * mask))
-        dz = jnp.einsum("kcz,kc->kz", problem.D, (z_new - z) * mask)
-        r_dual = rho * jnp.max(jnp.abs(dz))
+
+        DTv = lambda vc: jnp.einsum("kcz,kc->kz", problem.D, vc)
+        if settings.exact_dual:
+            # Exact dual residual H w+ + h + D^T y+ + G^T lam at the
+            # inner solve's dynamics dual, via the x-update stationarity
+            # (H+sI)w~ + h - sw + D^T rho (D w~ - g) + G^T lam = 0:
+            #   r_d = (1-a) H (w - w~) + s (w - w~)
+            #         + D^T rho [ (a-1)(z~ - z) + (z - z+) ]
+            # The old proxy rho max|D^T(z+ - z)| is the a=1, sigma->0
+            # special case.
+            dw = w - w_t
+            Hdw = jnp.einsum("kij,kj->ki", problem.H, dw)
+            zt_term = rho_vec * (
+                (alpha - 1.0) * (z_t - z) + (z - z_new)
+            )
+            dvec = (1.0 - alpha) * Hdw + sigma * dw + DTv(zt_term)
+            r_dual = jnp.max(jnp.abs(dvec))
+            Hw_new = jnp.einsum("kij,kj->ki", problem.H, w_new)
+            dual_scale = jnp.maximum(
+                jnp.max(jnp.abs(Hw_new)),
+                jnp.maximum(jnp.max(jnp.abs(DTv(y_new))),
+                            jnp.max(jnp.abs(problem.h))),
+            )
+        else:
+            r_dual = rho * jnp.max(jnp.abs(DTv((z_new - z) * mask)))
+            dual_scale = jnp.max(jnp.abs(DTv(y_new)))
 
         prim_scale = jnp.maximum(
             jnp.max(jnp.abs(Dw_new * mask)), jnp.max(jnp.abs(z_new))
         )
-        dty = jnp.einsum("kcz,kc->kz", problem.D, y_new)
-        dual_scale = jnp.max(jnp.abs(dty))
         eps_prim = settings.eps_abs + settings.eps_rel * prim_scale
         eps_dual = settings.eps_abs + settings.eps_rel * dual_scale
         conv = (r_prim <= eps_prim) & (r_dual <= eps_dual)
 
-        k, iter_conv, _, _, _ = stats
+        # Scale-normalized residuals drive the adaptive-rho rule
+        # (OSQP 5.2 uses relative, not absolute, imbalance).
+        tiny = jnp.asarray(1e-20, dt)
+        rp_rel = r_prim / jnp.maximum(prim_scale, tiny)
+        rd_rel = r_dual / jnp.maximum(dual_scale, tiny)
+
+        k, iter_conv, _, _, _, _, _ = stats
         k = k + 1
         iter_conv = jnp.where(conv & (iter_conv < 0), k, iter_conv)
-        stats = (k, iter_conv, r_prim, r_dual, conv)
+        stats = (k, iter_conv, r_prim, r_dual, conv, rp_rel, rd_rel)
         return (w_new, z_new, y_new, rho, stats), factors
 
     stats0 = (
         jnp.asarray(0), jnp.asarray(-1),
         jnp.asarray(jnp.inf, dt), jnp.asarray(jnp.inf, dt),
         jnp.asarray(False),
+        jnp.asarray(jnp.inf, dt), jnp.asarray(jnp.inf, dt),
     )
     carry = (state.w, state.z, state.y, jnp.asarray(state.rho, dt), stats0)
 
@@ -261,15 +290,16 @@ def solve(
             carry, _ = jax.lax.scan(cheap, carry, None, length=n_cheap)
         if settings.adaptive_rho and chunk + 1 < n_chunks:
             w, z, y, rho, stats = carry
-            _, _, r_prim, r_dual, _ = stats
+            _, _, _, _, _, rp_rel, rd_rel = stats
             tiny = jnp.asarray(1e-12, dt)
+            # OSQP 5.2: rho <- rho sqrt(rel_prim / rel_dual), applied
+            # only on a >5x relative imbalance.
             ratio = jnp.sqrt(
-                jnp.maximum(r_prim, tiny) / jnp.maximum(r_dual, tiny)
+                jnp.maximum(rp_rel, tiny) / jnp.maximum(rd_rel, tiny)
             )
             rho_new = jnp.clip(
                 rho * ratio, settings.rho_min, settings.rho_max
             )
-            # OSQP only updates on a >5x imbalance.
             update = (ratio > jnp.asarray(5.0, dt)) | (
                 ratio < jnp.asarray(0.2, dt)
             )
@@ -277,7 +307,7 @@ def solve(
             carry = (w, z, y, rho, stats)
 
     w, z, y, rho, stats = carry
-    k, iter_conv, r_prim, r_dual, conv = stats
+    k, iter_conv, r_prim, r_dual, conv, _, _ = stats
     info = ADMMInfo(
         iterations=k, r_prim=r_prim, r_dual=r_dual, converged=conv,
         iter_converged=jnp.where(iter_conv < 0, k, iter_conv),
@@ -366,6 +396,7 @@ def solve_fused(
     HN_l = l3(problem.H[:, -1, nu:, nu:] + sigma * jnp.eye(nx, dtype=dt))
     DN_l = l3(problem.D[:, -1, :, nu:])               # (nc, nx, B)
     h_base = l3(problem.h)                            # (N+1, nz, B)
+    h_absmax = jnp.max(jnp.abs(h_base), axis=(0, 1))  # (B,) eps_dual scale
     uterm = jnp.ones((N + 1, nz, 1), dt).at[-1, :nu].set(0.0)
     lb_l = l3(problem.e_lb)
     ub_l = l3(problem.e_ub)
@@ -377,6 +408,20 @@ def solve_fused(
         for zi in range(1, nz):
             acc = acc + Dall_l[:, :, zi, :] * w[:, None, zi, :]
         return acc
+
+    def Hw_l(wv):
+        """(N+1, nz, B) = H w with the ORIGINAL H (sigma removed) —
+        exact-dual residual term, unrolled like Dw_l."""
+        acc = H_l[:, :, 0, :] * wv[:-1, None, 0, :]
+        for zi in range(1, nz):
+            acc = acc + H_l[:, :, zi, :] * wv[:-1, None, zi, :]
+        acc = acc - sigma * wv[:-1]
+        accN = HN_l[:, 0, :] * wv[-1, None, nu, :]
+        for xi in range(1, nx):
+            accN = accN + HN_l[:, xi, :] * wv[-1, None, nu + xi, :]
+        accN = accN - sigma * wv[-1, nu:]
+        wN = jnp.concatenate([jnp.zeros((nu, Bb), dt), accN], axis=0)
+        return jnp.concatenate([acc, wN[None]], axis=0)
 
     def DTy_l(yv):
         """(N+1, nz, B) = D^T y, unrolled over nc."""
@@ -442,10 +487,22 @@ def solve_fused(
         Dw_new = Dw_l(w_new)
         amax = lambda x: jnp.max(jnp.abs(x), axis=(0, 1))   # -> (B,)
         r_prim = amax((Dw_new - z_new) * mask)
-        r_dual = rho * amax(DTy_l((z_new - z) * mask))
+        if settings.exact_dual:
+            # Same OSQP 3.4 exact dual residual as in solve() (see the
+            # derivation there), on lanes tiles.
+            dw = w - w_t
+            zt_term = rho_vec * ((alpha - 1.0) * (z_t - z) + (z - z_new))
+            dvec = (1.0 - alpha) * Hw_l(dw) + sigma * dw + DTy_l(zt_term)
+            r_dual = amax(dvec)
+            dual_scale = jnp.maximum(
+                amax(Hw_l(w_new)),
+                jnp.maximum(amax(DTy_l(y_new)), h_absmax),
+            )
+        else:
+            r_dual = rho * amax(DTy_l((z_new - z) * mask))
+            dual_scale = amax(DTy_l(y_new))
 
         prim_scale = jnp.maximum(amax(Dw_new * mask), amax(z_new))
-        dual_scale = amax(DTy_l(y_new))
         conv = (r_prim <= settings.eps_abs + settings.eps_rel * prim_scale) \
             & (r_dual <= settings.eps_abs + settings.eps_rel * dual_scale)
 
@@ -455,8 +512,11 @@ def solve_fused(
         # Per-instance adaptive rho on the cadence (no refactor needed).
         if settings.adaptive_rho:
             tiny = jnp.asarray(1e-12, dt)
+            # OSQP 5.2: relative-residual imbalance.
+            rp_rel = r_prim / jnp.maximum(prim_scale, tiny)
+            rd_rel = r_dual / jnp.maximum(dual_scale, tiny)
             ratio = jnp.sqrt(
-                jnp.maximum(r_prim, tiny) / jnp.maximum(r_dual, tiny)
+                jnp.maximum(rp_rel, tiny) / jnp.maximum(rd_rel, tiny)
             )
             upd = ((ratio > 5.0) | (ratio < 0.2)) & (k_next % interval == 0)
             rho = jnp.where(

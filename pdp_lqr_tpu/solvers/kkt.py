@@ -39,6 +39,22 @@ def forward(problem: LQRProblem, params, rho, factors: KKTFactors, x0):
     return kkt_block.extract_ws(v, problem, x0)
 
 
+def duals(problem: LQRProblem, it: ADMMIterates, x0, sigma: float,
+          rho_dyn: float = DEFAULT_RHO_DYN):
+    """Solve and return (ws, lambdas, ys): primal trajectory, dynamics
+    duals lambda_1..N, and per-row constraint duals y (reference KKT
+    solution ordering qdldl_solver.hpp:112-140 exposes all three)."""
+    params = make_stage_params(problem, it, sigma)
+    D, E = kkt_block.build_blocks(problem, params, it.rho, rho_dyn)
+    fac = kkt_block.factorize(D, E)
+    rhs = kkt_block.build_rhs(problem, params, it.rho, x0)
+    v = kkt_block.solve_cached(fac, rhs)
+    ws = kkt_block.extract_ws(v, problem, x0)
+    lams = kkt_block.extract_lambdas(v, problem)
+    ys = kkt_block.extract_constraint_duals(ws, problem, params, it.rho)
+    return ws, lams, ys
+
+
 def solve(problem: LQRProblem, it: ADMMIterates, x0, sigma: float,
           rho_dyn: float = DEFAULT_RHO_DYN):
     """update_problem_data + factor + solve in one call."""

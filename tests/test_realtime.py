@@ -1,0 +1,112 @@
+"""Real-time (B=1 while_loop) path: operator exactness, parity with the
+batch-SIMD ADMM loop, early exit, warm starts."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pdp_lqr_tpu import init_iterates
+from pdp_lqr_tpu.models import quadrotor
+from pdp_lqr_tpu.problem import ADMMIterates
+from pdp_lqr_tpu.solvers import admm, realtime, sequential
+
+SIGMA = 1e-6
+
+
+def _setup(N=30):
+    problem, _ = quadrotor(N=N, constrained=True)
+    settings = admm.ADMMSettings(
+        sigma=SIGMA, rho=0.1, max_iter=40, rho_update_interval=40,
+        adaptive_rho=False, eps_abs=1e-6, eps_rel=1e-6,
+    )
+    return problem, settings
+
+
+def test_operator_matches_inner_solve():
+    """T/J/r must reproduce the scan backend on arbitrary iterates."""
+    problem, settings = _setup()
+    op = realtime.build_operator(problem, rho=0.1, settings=settings)
+
+    rng = np.random.default_rng(0)
+    it0 = init_iterates(problem, rho=0.1)
+    it = ADMMIterates(
+        w=jnp.asarray(rng.normal(size=it0.w.shape) * 0.1),
+        y=jnp.asarray(rng.normal(size=it0.y.shape) * 0.1) * (it0.rho > 0),
+        z=jnp.asarray(rng.normal(size=it0.z.shape) * 0.1) * (it0.rho > 0),
+        rho=it0.rho,
+    )
+    x0 = jnp.asarray(rng.normal(size=problem.nx) * 0.1)
+    ws_ref, _ = sequential.solve(problem, it, x0, SIGMA)
+
+    N, nz, nu = problem.N, problem.nz, problem.nu
+    uterm = jnp.ones((N + 1, nz)).at[-1, :nu].set(0.0)
+    g = it.z - it.inv_rho * it.y
+    hf = (problem.h * uterm - SIGMA * it.w
+          - jnp.einsum("kcz,kc->kz", problem.D, it.rho * g)) * uterm
+    ws_op = (hf.reshape(-1) @ op.T + x0 @ op.J + op.r).reshape(N + 1, nz)
+    np.testing.assert_allclose(
+        np.asarray(ws_op), np.asarray(ws_ref), atol=1e-9
+    )
+
+
+def test_parity_with_batch_admm():
+    """Same iterates as admm.solve when neither path exits early."""
+    problem, settings = _setup()
+    tight = admm.ADMMSettings(
+        **{**settings.__dict__, "eps_abs": 0.0, "eps_rel": 0.0,
+           "max_iter": 30, "rho_update_interval": 30},
+    )
+    x0 = jnp.zeros(problem.nx)
+    op = realtime.build_operator(problem, rho=tight.rho, settings=tight)
+    ws_rt, st_rt, info_rt = realtime.solve(problem, x0, op, (), tight)
+    ws_b, st_b, info_b = admm.solve(problem, x0, (), tight)
+    assert int(info_rt.iterations) == 30
+    np.testing.assert_allclose(
+        np.asarray(ws_rt), np.asarray(ws_b), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_rt.y), np.asarray(st_b.y), atol=1e-8
+    )
+
+
+def test_early_exit_and_warm_start():
+    problem, _ = _setup()
+    settings = admm.ADMMSettings(
+        sigma=SIGMA, rho=1.0, max_iter=200, rho_update_interval=200,
+        adaptive_rho=False, eps_abs=1e-4, eps_rel=1e-3,
+    )
+    x0 = jnp.asarray(np.full(12, 0.05))
+    op = realtime.build_operator(problem, rho=settings.rho,
+                                 settings=settings)
+    ws, state, info = realtime.solve(problem, x0, op, (), settings)
+    assert bool(info.converged)
+    assert int(info.iterations) < settings.max_iter
+    # Constraint feasibility at the exit tolerance.
+    viol = np.maximum(
+        np.asarray(problem.e_lb) - np.einsum(
+            "kcz,kz->kc", np.asarray(problem.D), np.asarray(ws)),
+        np.einsum("kcz,kz->kc", np.asarray(problem.D), np.asarray(ws))
+        - np.asarray(problem.e_ub),
+    )
+    active = np.asarray(init_iterates(problem, rho=1.0).rho) > 0
+    # Feasibility to the configured tolerance: eps_abs + eps_rel * |Dw|.
+    assert viol[active].max() < 5e-3
+
+    # Warm start from the previous state: far fewer iterations (the
+    # steady-state 1 kHz regime — measured 2 vs 33 cold at rho=1).
+    x0b = x0 + 1e-3
+    _, _, info_warm = realtime.solve(problem, x0b, op, (), settings, state)
+    assert bool(info_warm.converged)
+    assert int(info_warm.iterations) < int(info.iterations) // 2
+
+
+def test_replan_fn_jits_once():
+    problem, settings = _setup(N=10)
+    op = realtime.build_operator(problem, rho=settings.rho,
+                                 settings=settings)
+    fn = realtime.replan_fn(problem, op, (), settings)
+    state = admm.init_state(problem, settings)
+    ws, state, info = fn(jnp.zeros(12), state)
+    ws2, state2, info2 = fn(jnp.asarray(np.full(12, 0.01)), state)
+    assert fn._cache_size() == 1
+    assert ws2.shape == ws.shape
