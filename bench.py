@@ -72,9 +72,13 @@ def run_check(on_cpu: bool) -> int:
             )(problem, its, x0),
         }
         for solver, fn in runs.items():
+            t0 = time.perf_counter()
             out = np.asarray(jax.jit(fn)())
             err = float(np.abs(out - ref).max() / scale)
             results[f"{name}/{solver}"] = err
+            print(f"# {name}/{solver}: rel_err={err:.3e} "
+                  f"(compile+run {time.perf_counter() - t0:.0f}s)",
+                  file=sys.stderr, flush=True)
             if not np.isfinite(err) or err > tol:
                 failures.append(f"{name}/{solver}: {err:.3e} > {tol}")
 
@@ -133,6 +137,10 @@ def main():
     ap.add_argument("--check", action="store_true",
                     help="run the on-device cross-backend parity gate "
                          "instead of the throughput bench")
+    ap.add_argument("--bf16", action="store_true",
+                    help="pallas only: stream stage data in bfloat16 "
+                         "(f32 compute) — halves HBM footprint for "
+                         "memory-bound shapes like centroidal N=1024")
     args = ap.parse_args()
 
     backend = jax.default_backend()
@@ -182,11 +190,13 @@ def main():
         # Fused Pallas kernels need lane-aligned batches on hardware.
         solver_name = "pallas" if (not on_cpu and B % 128 == 0) else "dense"
 
+    storage_dt = jnp.bfloat16 if args.bf16 else None
     step_args = None
     if solver_name == "pallas" and args.resident:
         from pdp_lqr_tpu.ops import pallas_riccati
 
-        prep0 = pallas_riccati.prepare_lanes(problem, its, x0, 1e-6)
+        prep0 = pallas_riccati.prepare_lanes(
+            problem, its, x0, 1e-6, storage_dt)
         step_args, nu_static = prep0[:-1], prep0[-1]
 
         def step(*arrays):
@@ -198,7 +208,8 @@ def main():
 
         def step(problem, its, x0):
             return pallas_riccati.solve_lanes(
-                problem, its, x0, 1e-6, interpret=on_cpu
+                problem, its, x0, 1e-6, storage_dtype=storage_dt,
+                interpret=on_cpu
             )
     elif solver_name == "dense":
         from pdp_lqr_tpu.solvers import dense
@@ -254,7 +265,8 @@ def main():
     dt = time.perf_counter() - t0
 
     solves_per_s = B * args.iters / dt
-    label = solver_name + ("+resident" if args.resident else "")
+    label = solver_name + ("+resident" if args.resident else "") \
+        + ("+bf16" if args.bf16 else "")
     if args.model != "quadrotor":
         label = f"{args.model}, {label}"
     print(json.dumps({

@@ -143,18 +143,22 @@ def _backward_kernel(nu, nx, nc,
         P_scr[:] = PN_ref[:]
         p_scr[:] = pN_ref[:]
 
-    A = A_ref[0]
-    Bm = B_ref[0]
-    c = c_ref[0]
-    H = H_ref[0]
-    h = h_ref[0]
+    # Stage data may be stored in a narrower dtype (bf16) than the
+    # compute/carry dtype — upcast at load so HBM streaming is halved
+    # while all arithmetic stays in the carry precision.
+    cdt = P_scr.dtype
+    A = A_ref[0].astype(cdt)
+    Bm = B_ref[0].astype(cdt)
+    c = c_ref[0].astype(cdt)
+    H = H_ref[0].astype(cdt)
+    h = h_ref[0].astype(cdt)
 
     # Penalty fold (lqr_kernel.hpp:106-112), in-register:
     #   H += sum_c rho_c D_c D_c^T ;  h -= sum_c (rho_c g_c) D_c
     if nc > 0:
-        D = D_ref[0]
-        rho = rho_ref[0]
-        rg = rg_ref[0]
+        D = D_ref[0].astype(cdt)
+        rho = rho_ref[0].astype(cdt)
+        rg = rg_ref[0].astype(cdt)
         for ci in range(nc):
             w = rho[ci] * D[ci]              # (nz, B)
             rows = []
@@ -452,14 +456,17 @@ def backward_lanes(A, B, c, H, h, D, rho, rg, PN, pN, *, interpret=False):
     nu = B.shape[2]
     nz = nx + nu
     nc = D.shape[1]
-    dt = A.dtype
+    # Compute/output dtype comes from the terminal carry (f32/f64);
+    # stage data may be narrower (bf16 storage mode).
+    dt = PN.dtype
+    sdt = A.dtype
 
     if nc == 0:
         # Pallas blocks cannot be zero-sized; stream one dummy row
         # (statically skipped by the kernel via its nc argument).
-        D = jnp.zeros((N, 1, nz, Bt), dt)
-        rho = jnp.zeros((N, 1, Bt), dt)
-        rg = jnp.zeros((N, 1, Bt), dt)
+        D = jnp.zeros((N, 1, nz, Bt), sdt)
+        rho = jnp.zeros((N, 1, Bt), sdt)
+        rg = jnp.zeros((N, 1, Bt), sdt)
 
     ncp = max(nc, 1)
     words = (nx * nx + nx * nu + nx + nz * nz + nz + ncp * nz + 2 * ncp
@@ -588,26 +595,34 @@ def from_lanes(x):
     return jnp.moveaxis(x, -1, 0)
 
 
-def prepare_lanes(problem, it, x0, sigma: float):
+def prepare_lanes(problem, it, x0, sigma: float, storage_dtype=None):
     """Transpose a standard batched problem into the lanes layout.
 
     Returns the argument tuple for ``solve_prepared``.  In iterative
     callers (ADMM, MPC replans, benchmarks) the stage matrices are
     prepared once and only the small vector pieces change per solve.
+
+    ``storage_dtype`` (e.g. jnp.bfloat16) stores the streamed stage
+    tensors narrower than the compute dtype: the kernels upcast at
+    load, halving HBM footprint AND bandwidth for memory-bound shapes
+    (the N=1024 centroidal config OOMs in f32 at B=4096 without it).
+    This quantizes the problem DATA (~3 decimal digits); the recursion
+    itself still runs in the carry precision.
     """
     from pdp_lqr_tpu.problem import make_stage_params
 
     nu = problem.nu
     params = jax.vmap(lambda p, i: make_stage_params(p, i, sigma))(problem, it)
 
-    A = to_lanes(problem.A)
-    B = to_lanes(problem.B)
-    c = to_lanes(problem.c)
-    H = to_lanes(params.H[:, :-1])
-    h = to_lanes(params.h[:, :-1])
-    D = to_lanes(problem.D[:, :-1])
-    rho = to_lanes(it.rho[:, :-1])
-    rg = to_lanes(it.rho[:, :-1] * params.g[:, :-1])
+    st = (lambda x: x.astype(storage_dtype)) if storage_dtype else (lambda x: x)
+    A = st(to_lanes(problem.A))
+    B = st(to_lanes(problem.B))
+    c = st(to_lanes(problem.c))
+    H = st(to_lanes(params.H[:, :-1]))
+    h = st(to_lanes(params.h[:, :-1]))
+    D = st(to_lanes(problem.D[:, :-1]))
+    rho = st(to_lanes(it.rho[:, :-1]))
+    rg = st(to_lanes(it.rho[:, :-1] * params.g[:, :-1]))
 
     # Terminal fold (tiny, stays in jnp): P_N = Hxx~ + Dx^T rho Dx.
     HN = params.H[:, -1, nu:, nu:]
@@ -639,12 +654,14 @@ def solve_prepared(prep, *, interpret=False):
     return jnp.concatenate([ws, wN[:, None, :]], axis=1)
 
 
-def solve_lanes(problem, it, x0, sigma: float, *, interpret=False):
+def solve_lanes(problem, it, x0, sigma: float, *, storage_dtype=None,
+                interpret=False):
     """Full batched solve through the fused kernels.
 
     problem/it: standard batched pytrees with LEADING batch axis B
     (B % 128 == 0 on hardware; any B in interpret mode); x0 (B, nx).
+    ``storage_dtype``: see prepare_lanes (bf16 stage-data streaming).
     Returns ws (B, N+1, nz) like every other backend.
     """
-    prep = prepare_lanes(problem, it, x0, sigma)
+    prep = prepare_lanes(problem, it, x0, sigma, storage_dtype)
     return solve_prepared(prep, interpret=interpret)

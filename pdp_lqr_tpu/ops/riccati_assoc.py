@@ -162,6 +162,14 @@ def _identity_elements(n: int, nx: int, dt):
 # body + fix-up), not once per tree level.
 SCAN_BLOCK = 16
 
+# Largest nx that uses the unrolled-GE combine in the blocked scan.
+# The unrolled body is ~nx^2 HLO ops; at nx = 40 (mass-spring) the
+# remote TPU compiler chews on it for >10 minutes, while the batched
+# LU tree compiles in seconds — past this size the plain
+# associative_scan with jnp.linalg.solve wins on compile AND the
+# per-level LU amortizes over the larger per-element matmul work.
+UNROLL_NX_MAX = 20
+
 
 def _suffix_scan_blocked(elems, block: int = SCAN_BLOCK):
     """Inclusive suffix combine of value elements, TPU-shaped.
@@ -182,7 +190,7 @@ def _suffix_scan_blocked(elems, block: int = SCAN_BLOCK):
     N1 = elems[0].shape[0]
     nx = elems[0].shape[-1]
     dt = elems[0].dtype
-    if N1 <= block:
+    if N1 <= block or nx > UNROLL_NX_MAX:
         return jax.lax.associative_scan(
             lambda a, b: combine(b, a), elems, axis=0, reverse=True
         )

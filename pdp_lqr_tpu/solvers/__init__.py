@@ -21,5 +21,9 @@ forward — lqr_solver.hpp:9-28) as pure functions plus a one-shot
                speed-of-light path
 
   admm       — conic ADMM outer loop around any of the above
-               (admm.solve per instance, admm.solve_fused batch-level)
+               (admm.solve per instance, admm.solve_fused batch-level,
+               parallel.admm_sharded pod-level)
+  realtime   — B=1 real-time MPC path: the cached-factor inner solve
+               materialized as one dense MXU matvec, early-exit
+               while_loop replans at 1 kHz rates
 """

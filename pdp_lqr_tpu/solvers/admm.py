@@ -277,10 +277,26 @@ def solve(
 
     interval = max(1, settings.rho_update_interval)
     n_chunks = -(-settings.max_iter // interval)
+    tail = settings.max_iter - (n_chunks - 1) * interval  # last-chunk len
 
-    for chunk in range(n_chunks):
-        n_cheap = min(interval, settings.max_iter - chunk * interval) - 1
-        # Refactor iteration (rho may have changed between chunks).
+    def maybe_update_rho(carry):
+        """OSQP 5.2: rho <- rho sqrt(rel_prim / rel_dual), applied only
+        on a >5x relative (scale-normalized) imbalance."""
+        w, z, y, rho, stats = carry
+        _, _, _, _, _, rp_rel, rd_rel = stats
+        tiny = jnp.asarray(1e-12, dt)
+        ratio = jnp.sqrt(
+            jnp.maximum(rp_rel, tiny) / jnp.maximum(rd_rel, tiny)
+        )
+        rho_new = jnp.clip(rho * ratio, settings.rho_min, settings.rho_max)
+        update = (ratio > jnp.asarray(5.0, dt)) | (
+            ratio < jnp.asarray(0.2, dt)
+        )
+        return (w, z, y, jnp.where(update, rho_new, rho), stats)
+
+    def run_chunk(carry, n_cheap: int):
+        # Refactor iteration (rho may have changed since the factors
+        # were built) + n_cheap cached-factor iterations.
         carry, factors = iteration(carry, None, resolve=False)
         if n_cheap > 0:
             def cheap(c, _):
@@ -288,23 +304,28 @@ def solve(
                 return c, None
 
             carry, _ = jax.lax.scan(cheap, carry, None, length=n_cheap)
-        if settings.adaptive_rho and chunk + 1 < n_chunks:
-            w, z, y, rho, stats = carry
-            _, _, _, _, _, rp_rel, rd_rel = stats
-            tiny = jnp.asarray(1e-12, dt)
-            # OSQP 5.2: rho <- rho sqrt(rel_prim / rel_dual), applied
-            # only on a >5x relative imbalance.
-            ratio = jnp.sqrt(
-                jnp.maximum(rp_rel, tiny) / jnp.maximum(rd_rel, tiny)
-            )
-            rho_new = jnp.clip(
-                rho * ratio, settings.rho_min, settings.rho_max
-            )
-            update = (ratio > jnp.asarray(5.0, dt)) | (
-                ratio < jnp.asarray(0.2, dt)
-            )
-            rho = jnp.where(update, rho_new, rho)
-            carry = (w, z, y, rho, stats)
+        return carry
+
+    # All full-length chunks roll through ONE lax.scan so the refactor
+    # body (the expensive inner-solve trace) is compiled once, not once
+    # per chunk — trace-time chunk unrolling made compiles scale with
+    # max_iter / interval (minutes at 300/25 on the kkt backend).
+    n_full = n_chunks - (1 if tail != interval else 0)
+    if n_full > 0:
+        def full_chunk(c, first):
+            if settings.adaptive_rho:
+                c = jax.tree.map(
+                    lambda a, b: jnp.where(first, a, b),
+                    c, maybe_update_rho(c),
+                )
+            return run_chunk(c, interval - 1), None
+
+        firsts = jnp.arange(n_full) == 0
+        carry, _ = jax.lax.scan(full_chunk, carry, firsts)
+    if tail != interval:
+        if settings.adaptive_rho and n_full > 0:
+            carry = maybe_update_rho(carry)
+        carry = run_chunk(carry, tail - 1)
 
     w, z, y, rho, stats = carry
     k, iter_conv, r_prim, r_dual, conv, _, _ = stats

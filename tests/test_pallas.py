@@ -95,3 +95,19 @@ def test_lanes_roundtrip():
     x = jnp.arange(24.0).reshape(2, 3, 4)
     y = pallas_riccati.from_lanes(pallas_riccati.to_lanes(x))
     np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_bf16_storage_mode():
+    """bf16-streamed stage data with f32 compute: results track the f32
+    path to data-quantization accuracy (~1e-2 relative)."""
+    problem, _ = quadrotor(N=8, constrained=True, dtype=jnp.float32)
+    bp, its, x0 = _batch(problem, B=3)
+    ws32 = pallas_riccati.solve_lanes(bp, its, x0, SIGMA, interpret=True)
+    ws16 = pallas_riccati.solve_lanes(
+        bp, its, x0, SIGMA, storage_dtype=jnp.bfloat16, interpret=True
+    )
+    assert ws16.dtype == jnp.float32
+    scale = np.abs(np.asarray(ws32)).max()
+    err = np.abs(np.asarray(ws16) - np.asarray(ws32)).max() / scale
+    assert err < 2e-2, err
+    assert np.all(np.isfinite(np.asarray(ws16)))

@@ -110,3 +110,36 @@ def test_replan_fn_jits_once():
     ws2, state2, info2 = fn(jnp.asarray(np.full(12, 0.01)), state)
     assert fn._cache_size() == 1
     assert ws2.shape == ws.shape
+
+
+def test_batch_operator_matches_fused():
+    """Operator-mode batched ADMM == the lane-kernel fused loop on a
+    shared-structure scenario batch (c and x0 vary per instance)."""
+    import dataclasses
+
+    problem, _ = quadrotor(N=12, constrained=True)
+    settings = admm.ADMMSettings(
+        sigma=SIGMA, rho=0.5, max_iter=25, rho_update_interval=25,
+        adaptive_rho=False, eps_abs=1e-5, eps_rel=1e-4,
+    )
+    B = 3
+    rng = np.random.default_rng(4)
+    bp = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape),
+                      problem)
+    bp = dataclasses.replace(
+        bp, c=bp.c + jnp.asarray(rng.normal(size=bp.c.shape) * 0.02))
+    x0s = jnp.asarray(rng.normal(size=(B, 12)) * 0.05)
+
+    op = realtime.build_batch_operator(problem, rho=0.5,
+                                       settings=settings)
+    ws_op, st_op, info_op = realtime.solve_batch(
+        bp, x0s, op, (), settings)
+    ws_f, st_f, info_f = admm.solve_fused(
+        bp, x0s, (), settings, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(ws_op), np.asarray(ws_f), atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(st_op.y), np.asarray(st_f.y), atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(info_op.r_prim), np.asarray(info_f.r_prim),
+        rtol=1e-6, atol=1e-12)
