@@ -27,6 +27,12 @@ def main():
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--horizon", type=int, default=64)
     ap.add_argument("--admm-iters", type=int, default=15)
+    ap.add_argument("--shared-dynamics", action="store_true",
+                    help="sample only additive disturbances (c) so all "
+                         "scenarios share (A, B) — enables the "
+                         "operator-mode serving path (realtime."
+                         "solve_batch: MXU matmuls, no scans) and "
+                         "times it against the fused kernels")
     args = ap.parse_args()
 
     from pdp_lqr_tpu.models import quadrotor
@@ -42,16 +48,20 @@ def main():
     bp = jax.tree.map(tile, base)
     # Sampled dynamics: perturb A and B per scenario (parameter
     # uncertainty), plus per-scenario drift.
-    dA = rng.normal(size=(B, 1, 12, 12)).astype(np.float32) * 0.002
-    dB = rng.normal(size=(B, 1, 12, 4)).astype(np.float32) * 0.002
-    bp = dataclasses.replace(
-        bp,
-        A=bp.A + jnp.asarray(dA),
-        B=bp.B + jnp.asarray(dB),
-        c=bp.c + jnp.asarray(
-            rng.normal(size=(B, args.horizon, 12)).astype(np.float32) * 0.002
-        ),
+    dc = jnp.asarray(
+        rng.normal(size=(B, args.horizon, 12)).astype(np.float32) * 0.002
     )
+    if args.shared_dynamics:
+        bp = dataclasses.replace(bp, c=bp.c + dc)
+    else:
+        dA = rng.normal(size=(B, 1, 12, 12)).astype(np.float32) * 0.002
+        dB = rng.normal(size=(B, 1, 12, 4)).astype(np.float32) * 0.002
+        bp = dataclasses.replace(
+            bp,
+            A=bp.A + jnp.asarray(dA),
+            B=bp.B + jnp.asarray(dB),
+            c=bp.c + dc,
+        )
     x0s = jnp.broadcast_to(jnp.zeros(12, jnp.float32), (B, 12))
 
     settings = admm.ADMMSettings(
@@ -66,6 +76,7 @@ def main():
 
     ws, state, info = fused(bp, x0s, None)
     assert bool(fence(ws))
+    ws_cold = ws
     n_conv = int(np.sum(np.asarray(info.converged)))
     print(f"cold replan: {n_conv}/{B} scenarios converged "
           f"(max r_prim {float(np.max(np.asarray(info.r_prim))):.2e})")
@@ -93,6 +104,30 @@ def main():
     print("failed scenarios:", int(np.sum(np.asarray(mask))))
     q = quality.assess(jax.tree.map(lambda x: x[0], bp), ws[0])
     print("scenario-0 quality:", q)
+
+    if args.shared_dynamics:
+        # Operator-mode serving: one (B, M) @ (M, M) matmul per
+        # iteration instead of the lane-kernel scans.
+        from pdp_lqr_tpu.solvers import realtime
+
+        op = realtime.build_batch_operator(base, rho=settings.rho,
+                                           settings=settings)
+        opfn = jax.jit(
+            lambda p, x, s: realtime.solve_batch(p, x, op, (),
+                                                 settings, s)
+        )
+        ws_o, st_o, info_o = opfn(bp, x0s, None)
+        assert bool(fence(ws_o))
+        err = float(jnp.max(jnp.abs(ws_o - ws_cold)))
+        ws_o, st_o, _ = opfn(bp, x0s, st_o)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            ws_o, st_o, _ = opfn(bp, x0s, st_o)
+        bool(fence(ws_o))
+        dt_o = (time.perf_counter() - t0) / reps
+        print(f"operator-mode warm replan of {B} scenarios: "
+              f"{dt_o*1e3:.2f} ms ({dt_o/B*1e6:.2f} us/scenario); "
+              f"max |op - fused| = {err:.2e}")
 
 
 if __name__ == "__main__":

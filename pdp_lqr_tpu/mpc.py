@@ -58,6 +58,69 @@ def replan(
     return u0, ws, new_state, info
 
 
+def replan_realtime(
+    problem: LQRProblem,
+    x_measured,
+    state: Optional[admm.ADMMState],
+    operator,
+    cones: Sequence[projections.ConeSpec] = (),
+    settings: admm.ADMMSettings = admm.ADMMSettings(),
+):
+    """One 1 kHz-class replan through the dense-operator path.
+
+    ``operator`` comes from solvers.realtime.build_operator (rebuild on
+    rho/problem changes).  Early-exits on convergence, so steady-state
+    replans cost ~2 iterations x ~8 us.  Returns (u0, ws, state, info).
+    """
+    from pdp_lqr_tpu.solvers import realtime
+
+    ws, new_state, info = realtime.solve(
+        problem, x_measured, operator, cones, settings, state
+    )
+    u0 = ws[0, : problem.nu]
+    return u0, ws, new_state, info
+
+
+def simulate_realtime(
+    problem: LQRProblem,
+    x0,
+    n_steps: int,
+    cones: Sequence[projections.ConeSpec] = (),
+    settings: admm.ADMMSettings = admm.ADMMSettings(),
+    process_noise: Optional[jax.Array] = None,
+):
+    """Closed-loop rollout on the real-time operator path.
+
+    Same contract as ``simulate`` but every replan is the
+    while_loop/matvec solver — the shape of a production 1 kHz loop.
+    The operator is built once outside the scan (rho fixed).
+    """
+    from pdp_lqr_tpu.solvers import realtime
+
+    cones = tuple(cones)
+    op = realtime.build_operator(problem, settings.rho, settings, cones)
+    A0, B0, c0 = problem.A[0], problem.B[0], problem.c[0]
+    if process_noise is None:
+        process_noise = jnp.zeros((n_steps, problem.nx), problem.A.dtype)
+
+    state0 = admm.init_state(problem, settings)
+
+    def step(carry, noise):
+        x, st = carry
+        u0, _, st_new, info = replan_realtime(
+            problem, x, st, op, cones, settings
+        )
+        x_next = A0 @ x + B0 @ u0 + c0 + noise
+        st_shifted = shift_state(st_new, problem)
+        return (x_next, st_shifted), (x, u0, info)
+
+    (x_final, _), (xs, us, infos) = jax.lax.scan(
+        step, (x0, state0), process_noise
+    )
+    xs = jnp.concatenate([xs, x_final[None]], axis=0)
+    return xs, us, infos
+
+
 def simulate(
     problem: LQRProblem,
     x0,

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pdp_lqr_tpu import mpc
-from pdp_lqr_tpu.models import double_integrator
+from pdp_lqr_tpu.models import double_integrator, quadrotor
 from pdp_lqr_tpu.solvers import admm
 
 
@@ -53,3 +53,24 @@ def test_simulate_jits_and_is_finite():
     xs, us, infos = sim(problem, jnp.asarray([0.5, -0.2]))
     assert np.all(np.isfinite(np.asarray(xs)))
     assert np.all(np.isfinite(np.asarray(us)))
+
+
+def test_simulate_realtime_tracks_simulate():
+    """The operator-path closed loop lands at the same regulated state
+    as the scan-path loop (same tolerances, same warm-start shifts)."""
+    problem, _ = quadrotor(N=12, constrained=True)
+    settings = admm.ADMMSettings(
+        rho=1.0, max_iter=60, rho_update_interval=60,
+        adaptive_rho=False, eps_abs=1e-6, eps_rel=1e-5,
+    )
+    x0 = jnp.asarray(np.full(12, 0.08))
+    xs_rt, us_rt, infos_rt = mpc.simulate_realtime(
+        problem, x0, n_steps=6, settings=settings)
+    xs, us, infos = mpc.simulate(
+        problem, x0, n_steps=6, settings=settings)
+    # Both loops regulate; trajectories agree to solver tolerance.
+    # realtime early-exits at tolerance while simulate runs max_iter;
+    # trajectories agree to the induced solver-tolerance difference.
+    np.testing.assert_allclose(
+        np.asarray(xs_rt), np.asarray(xs), atol=2e-3)
+    assert np.all(np.isfinite(np.asarray(us_rt)))
