@@ -70,7 +70,7 @@ def _build(mesh: Mesh, nu: int, nc: int,
 
         mask = jnp.any(D != 0, axis=-1).astype(dt)       # (Bl, Nl, nc)
         maskN = jnp.any(DN != 0, axis=-1).astype(dt)     # (Bl, nc)
-        for off, dim in cones:
+        for off, dim, _ in projections.normalize_cones(cones):
             blk = jnp.any(mask[..., off:off + dim] > 0, axis=-1,
                           keepdims=True).astype(dt)
             mask = mask.at[..., off:off + dim].set(
@@ -87,13 +87,13 @@ def _build(mesh: Mesh, nu: int, nc: int,
 
         def project(v, lo, hi, sh):
             out = jnp.clip(v, lo, hi)
-            for off, dim in cones:
+            for off, dim, kind in projections.normalize_cones(cones):
                 blk = v[..., off:off + dim]
                 if has_shift:
                     s = sh[..., off:off + dim]
-                    blk = projections.project_soc(blk + s, axis=-1) - s
+                    blk = projections.project_cone(blk + s, kind, axis=-1) - s
                 else:
-                    blk = projections.project_soc(blk, axis=-1)
+                    blk = projections.project_cone(blk, kind, axis=-1)
                 out = out.at[..., off:off + dim].set(blk)
             return out
 

@@ -133,7 +133,7 @@ def _con_mask(problem: LQRProblem, cones: Tuple = ()):
     ``soc_shift``, e.g. a plain control-norm ball ||u|| <= margin).
     """
     mask = jnp.any(problem.D != 0, axis=-1)
-    for off, dim in cones:
+    for off, dim, _ in projections.normalize_cones(cones):
         blk = jnp.any(mask[..., off : off + dim], axis=-1, keepdims=True)
         mask = mask.at[..., off : off + dim].set(
             jnp.broadcast_to(blk, mask[..., off : off + dim].shape)
@@ -344,6 +344,7 @@ def solve_fused(
     state: Optional[ADMMState] = None,
     soc_shift=None,
     interpret: bool = False,
+    single_kernel: bool = False,
 ):
     """Batch-fused conic ADMM: inner solves via the Pallas lane kernels.
 
@@ -357,6 +358,11 @@ def solve_fused(
 
     Static (per-batch-invariant) stage data is transposed to the lanes
     layout once; only the iterate-dependent vectors move per iteration.
+
+    ``single_kernel=True`` runs each iteration as ONE pallas_call
+    (ops/pallas_admm): backward + forward + projection + duals +
+    residual maxima fused, gains spilled to VMEM instead of HBM — the
+    short-horizon fast path (the (K, d) spill bounds N; see module doc).
 
     Returns (ws (B, N+1, nz), ADMMState (batched), ADMMInfo (batched)).
     """
@@ -453,13 +459,13 @@ def solve_fused(
 
     def project_l(v):
         out = jnp.clip(v, lb_l, ub_l)
-        for off, dim in cones:
+        for off, dim, kind in projections.normalize_cones(cones):
             blk = v[:, off : off + dim, :]
             if shift_l is not None:
                 s = shift_l[:, off : off + dim, :]
-                blk = projections.project_soc(blk + s, axis=-2) - s
+                blk = projections.project_cone(blk + s, kind, axis=-2) - s
             else:
-                blk = projections.project_soc(blk, axis=-2)
+                blk = projections.project_cone(blk, kind, axis=-2)
             out = out.at[:, off : off + dim, :].set(blk)
         return out
 
@@ -472,6 +478,114 @@ def solve_fused(
         )
 
     interval = max(1, settings.rho_update_interval)
+    cones3 = projections.normalize_cones(cones)
+
+    def _finish_stats(w_new, z_new, y_new, rho, stats,
+                      r_prim, r_dual, prim_scale, dual_scale):
+        """Shared convergence / adaptive-rho tail (per-instance)."""
+        k_it, iter_conv, _, _, _ = stats
+        conv = (r_prim <= settings.eps_abs + settings.eps_rel * prim_scale) \
+            & (r_dual <= settings.eps_abs + settings.eps_rel * dual_scale)
+        k_next = k_it + 1
+        iter_conv = jnp.where(conv & (iter_conv < 0), k_next, iter_conv)
+        if settings.adaptive_rho:
+            tiny = jnp.asarray(1e-12, dt)
+            rp_rel = r_prim / jnp.maximum(prim_scale, tiny)
+            rd_rel = r_dual / jnp.maximum(dual_scale, tiny)
+            ratio = jnp.sqrt(
+                jnp.maximum(rp_rel, tiny) / jnp.maximum(rd_rel, tiny)
+            )
+            upd = ((ratio > 5.0) | (ratio < 0.2)) & (k_next % interval == 0)
+            rho = jnp.where(
+                upd,
+                jnp.clip(rho * ratio, settings.rho_min, settings.rho_max),
+                rho,
+            )
+        stats = (k_next, iter_conv, r_prim, r_dual, conv)
+        return (w_new, z_new, y_new, rho, stats), None
+
+    def iteration_1k(carry, _):
+        """Whole iteration as ONE pallas_call (ops/pallas_admm)."""
+        from pdp_lqr_tpu.ops import pallas_admm as pa
+
+        w, z, y, rho, stats = carry
+        rho_row = rho[None, :]                       # (1, B)
+
+        # Terminal fold in XLA (tiny); zero-D rows contribute nothing,
+        # so raw rho works and z/y are invariantly masked.
+        PN = HN_l
+        pN = h_base[-1, nu:] - sigma * w[-1, nu:]
+        for ci in range(nc):
+            wrow = rho[None, :] * DN_l[ci]
+            PN = PN + DN_l[ci][:, None, :] * wrow[None, :, :]
+            pN = pN - (rho * z[-1, ci] - y[-1, ci])[None, :] * DN_l[ci]
+
+        shift_st = None
+        if shift_l is not None:
+            shift_st = jnp.broadcast_to(shift_l[:-1], (N, nc, Bb))
+        w_st, z_st, y_st, xN, res = pa.admm_iter_lanes(
+            A_l, B_l, c_l, H_l, h_base[:-1], Dst_l,
+            lb_l[:-1], ub_l[:-1], mask[:-1], shift_st,
+            w[:-1], z[:-1], y[:-1], rho_row, PN, pN, x0_l,
+            nu=nu, cones=cones3, alpha=alpha, sigma=sigma,
+            interpret=interpret,
+        )
+
+        # Terminal stage (no control): relax/project/dual + residuals.
+        w_tN = jnp.concatenate([jnp.zeros((nu, Bb), dt), xN], axis=0)
+        z_tN = jnp.einsum("cxb,xb->cb", DN_l, xN)
+        w_newN = alpha * w_tN + (1.0 - alpha) * w[-1]
+        vN = alpha * z_tN + (1.0 - alpha) * z[-1] + y[-1] / rho[None, :]
+        projN = jnp.clip(vN, lb_l[-1], ub_l[-1])
+        for off, dim, kind in cones3:
+            blk = vN[off : off + dim]
+            if shift_l is not None:
+                sN = shift_l[-1, off : off + dim]
+                blk = projections.project_cone(blk + sN, kind, axis=0) - sN
+            else:
+                blk = projections.project_cone(blk, kind, axis=0)
+            projN = projN.at[off : off + dim].set(blk)
+        z_newN = projN * mask[-1]
+        y_newN = y[-1] + (rho[None, :] * mask[-1]) * (
+            alpha * z_tN + (1.0 - alpha) * z[-1] - z_newN
+        )
+
+        def HwN(v):                     # original terminal H (u rows 0)
+            hx = jnp.einsum("xyb,yb->xb", HN_l, v[nu:]) - sigma * v[nu:]
+            return jnp.concatenate([jnp.zeros((nu, Bb), dt), hx], axis=0)
+
+        DallN = Dall_l[-1]
+        DwN = jnp.einsum("czb,zb->cb", DallN, w_newN)
+        dwN = w[-1] - w_tN
+        zt_termN = rho[None, :] * (
+            (alpha - 1.0) * (z_tN - z[-1]) + (z[-1] - z_newN)
+        )
+        dvecN = (
+            (1.0 - alpha) * HwN(dwN) + sigma * dwN
+            + jnp.einsum("czb,cb->zb", DallN, zt_termN)
+        )
+        amaxN = lambda x: jnp.max(jnp.abs(x), axis=0)
+        r_prim = jnp.maximum(res[0], amaxN(DwN - z_newN))
+        r_dual = jnp.maximum(res[1], amaxN(dvecN))
+        prim_scale = jnp.maximum(
+            res[2], jnp.maximum(amaxN(DwN), amaxN(z_newN))
+        )
+        dual_scale = jnp.maximum(
+            res[3],
+            jnp.maximum(
+                jnp.maximum(
+                    amaxN(HwN(w_newN)),
+                    amaxN(jnp.einsum("czb,cb->zb", DallN, y_newN)),
+                ),
+                h_absmax,
+            ),
+        )
+
+        w_new = jnp.concatenate([w_st, w_newN[None]], axis=0)
+        z_new = jnp.concatenate([z_st, z_newN[None]], axis=0)
+        y_new = jnp.concatenate([y_st, y_newN[None]], axis=0)
+        return _finish_stats(w_new, z_new, y_new, rho, stats,
+                             r_prim, r_dual, prim_scale, dual_scale)
 
     def iteration(carry, _):
         w, z, y, rho, stats = carry          # lanes: w (N+1,nz,B), z/y (N+1,nc,B)
@@ -561,7 +675,8 @@ def solve_fused(
         jnp.broadcast_to(jnp.asarray(state.rho, dt), (Bb,)), stats0,
     )
     (w, z, y, rho, stats), _ = jax.lax.scan(
-        iteration, carry0, None, length=settings.max_iter
+        iteration_1k if single_kernel else iteration,
+        carry0, None, length=settings.max_iter,
     )
     # Back to the batch-leading API layout (once).
     w_b = jnp.moveaxis(w, -1, 0)

@@ -71,6 +71,14 @@ class ResolveOperator:
     r: jax.Array
     rho: jax.Array
 
+    # Operator protocol (shared with CondensedOperator): prepare(x0)
+    # once per replan, apply_flat(hf_flat, prepared) per ADMM iteration.
+    def prepare(self, x0):
+        return x0 @ self.J + self.r
+
+    def apply_flat(self, hf_flat, prepared):
+        return hf_flat @ self.T + prepared
+
 
 @f32_matmul_precision
 def build_operator(
@@ -125,6 +133,221 @@ def build_operator(
     return ResolveOperator(T=T, J=J, r=r, rho=jnp.asarray(rho, dt))
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CondensedOperator:
+    """PDP-factored affine inner-solve — the long-horizon 1 kHz form.
+
+    The dense (M, M) map T costs O(M^2) memory/bandwidth; at N = 256
+    that alone blows the 1 ms replan budget.  This operator factors T
+    through the paper's segment decomposition (the reference's
+    LQRParallelSolver structure, lqr_solver_parallel.hpp:142-238,
+    recast as an OPERATOR): split the horizon into S segments of Ns
+    stages.  Given the per-factorization (rho-dependent, iterate-
+    independent) global Riccati cache, the solution inside segment s is
+    affine in ONLY (hf^(s), x_start_s, p_end_s) — the segment-local
+    folded cost rows, the state entering the segment, and the
+    cost-to-go *vector* at its end boundary (the matrix P at the
+    boundary is cached).  The 2 S nx boundary values are themselves
+    affine in (hf, x0), composed at build time from per-segment chain
+    maps.  Memory/bandwidth drop from M^2 to ~M^2/S + 2 M S nx
+    (minimized at S ~ sqrt(M / 2nx)), which holds the 1 kHz budget to
+    N ~ 512 (BASELINE.md).
+
+    Blocks (Ms = Ns*nz, out = Ms + nx; segment outputs are the
+    segment's w rows plus its exit state, whose last instance is x_N):
+      U (S, Ms, out)   response to segment-local hf rows
+      X (S, nx, out)   response to the segment entry state
+      Z (S, nx, out)   response to the boundary cost-to-go vector
+      r (S, out)       drift (c) constant
+      E_x, E_p (S, M, nx)  boundary responses to the full hf
+      Jx (S, nx, nx)       boundary response to x0
+      cx, cp (S, nx)       boundary constants
+    """
+
+    U: jax.Array
+    X: jax.Array
+    Z: jax.Array
+    r: jax.Array
+    E_x: jax.Array
+    E_p: jax.Array
+    Jx: jax.Array
+    cx: jax.Array
+    cp: jax.Array
+    rho: jax.Array
+
+    def prepare(self, x0):
+        """Per-replan constants: x0's boundary contribution."""
+        return jnp.einsum("n,snm->sm", x0, self.Jx) + self.cx
+
+    def apply_flat(self, hf_flat, prepared):
+        S, Ms, _ = self.U.shape
+        nx = self.X.shape[1]
+        seg_h = hf_flat[: S * Ms].reshape(S, Ms)
+        x_start = jnp.einsum("m,smn->sn", hf_flat, self.E_x) + prepared
+        p_end = jnp.einsum("m,smn->sn", hf_flat, self.E_p) + self.cp
+        seg_out = (
+            jnp.einsum("si,sio->so", seg_h, self.U)
+            + jnp.einsum("sn,sno->so", x_start, self.X)
+            + jnp.einsum("sn,sno->so", p_end, self.Z)
+            + self.r
+        )
+        w_stages = seg_out[:, :Ms].reshape(-1)
+        xN = seg_out[-1, Ms:]
+        nu = hf_flat.shape[0] - S * Ms - nx  # terminal row = [0_u; xN]
+        return jnp.concatenate(
+            [w_stages, jnp.zeros((nu,), w_stages.dtype), xN]
+        )
+
+
+@f32_matmul_precision
+def build_condensed_operator(
+    problem: LQRProblem,
+    rho: float,
+    num_segments: int,
+    settings: ADMMSettings = ADMMSettings(),
+    cones: Sequence[projections.ConeSpec] = (),
+) -> CondensedOperator:
+    """Factor once, materialize the SEGMENT-FACTORED solve map.
+
+    One global P-form backward builds the (iterate-independent) factor
+    cache; per-segment basis pushes of length Ns — vmapped over
+    (segment, basis) — materialize the local maps, and trace-time chain
+    composition produces the boundary responses.  Exactly the same
+    affine map as ``build_operator`` up to float reassociation
+    (pinned by tests/test_realtime.py).
+    """
+    dt = problem.H.dtype
+    N, nz, nx, nu = problem.N, problem.nz, problem.nx, problem.nu
+    S = int(num_segments)
+    if N % S != 0:
+        raise ValueError(f"num_segments {S} must divide N {N}")
+    Ns = N // S
+    Ms = Ns * nz
+    M = (N + 1) * nz
+    sigma = settings.sigma
+    mask = _con_mask(problem, tuple(cones)).astype(dt)
+    rho_vec = jnp.asarray(rho, dt) * mask
+
+    eye_z = jnp.eye(nz, dtype=dt)
+    zero_g = jnp.zeros(problem.e_lb.shape, dt)
+    params0 = StageParams(
+        H=problem.H + sigma * eye_z, h=jnp.zeros_like(problem.h), g=zero_g
+    )
+    factors = riccati_dense.backward(problem, params0, rho_vec)
+
+    from pdp_lqr_tpu.ops import linalg
+
+    # Segment-stacked stage data / cached factors: (S, Ns, ...).
+    seg = lambda x: x.reshape((S, Ns) + x.shape[1:])
+    A_s, B_s, c_s = seg(problem.A), seg(problem.B), seg(problem.c)
+    K_s, Lh_s = seg(factors.K), seg(factors.Lhuu)
+    Pn_s = seg(factors.P[1:])           # P_{k+1} per stage
+    cz_s = jnp.zeros_like(c_s)
+
+    def seg_resolve(A, B, c, K, Lh, Pn, h_seg, p_end, x_start):
+        """Segment-local cached-factor solve (riccati_dense math on a
+        slice, with the boundary cost-to-go vector as the carry seed).
+
+        Returns (w rows (Ns, nz), exit state, entry cost-to-go vector).
+        """
+        r = h_seg[:, :nu]
+        q = h_seg[:, nu:]
+
+        def bstep(p_next, stage):
+            A_, B_, c_, K_, Lh_, P_, rk, qk = stage
+            Pcp = P_ @ c_ + p_next
+            rbar = rk + B_.T @ Pcp
+            d = -linalg.chol_solve_unrolled(Lh_, rbar[..., None])[..., 0]
+            p = qk + A_.T @ Pcp + K_.T @ rbar
+            return p, d
+
+        p_start, d = jax.lax.scan(
+            bstep, p_end, (A, B, c, K, Lh, Pn, r, q), reverse=True
+        )
+
+        def fstep(x, stage):
+            A_, B_, c_, K_, d_ = stage
+            u = K_ @ x + d_
+            return A_ @ x + B_ @ u + c_, jnp.concatenate([u, x])
+
+        x_end, wrows = jax.lax.scan(fstep, x_start, (A, B, c, K, d))
+        return wrows, x_end, p_start
+
+    zh = jnp.zeros((Ns, nz), dt)
+    zx = jnp.zeros((nx,), dt)
+    bh = jnp.eye(Ms, dtype=dt).reshape(Ms, Ns, nz)
+    bx = jnp.eye(nx, dtype=dt)
+
+    # vmap over basis (inner) and segments (outer); basis pushes use
+    # c = 0 so the outputs ARE the linear responses.
+    def over_segments(fn, *basis):
+        return jax.vmap(
+            lambda A, B, c, K, Lh, Pn: jax.vmap(
+                lambda *bs: fn(A, B, c, K, Lh, Pn, *bs)
+            )(*basis)
+        )(A_s, B_s, cz_s, K_s, Lh_s, Pn_s)
+
+    U_w, Ux, Up = over_segments(
+        lambda *a: seg_resolve(*a[:6], a[6], zx, zx), bh
+    )
+    Z_w, Zx, Gp = over_segments(
+        lambda *a: seg_resolve(*a[:6], zh, a[6], zx), bx
+    )
+    X_w, Xx, _ = over_segments(
+        lambda *a: seg_resolve(*a[:6], zh, zx, a[6]), bx
+    )
+    r_w, rx, rp = jax.vmap(
+        lambda A, B, c, K, Lh, Pn: seg_resolve(A, B, c, K, Lh, Pn, zh,
+                                               zx, zx)
+    )(A_s, B_s, c_s, K_s, Lh_s, Pn_s)
+
+    out = Ms + nx
+    U = jnp.concatenate([U_w.reshape(S, Ms, Ms), Ux], axis=-1)
+    Z = jnp.concatenate([Z_w.reshape(S, nx, Ms), Zx], axis=-1)
+    X = jnp.concatenate([X_w.reshape(S, nx, Ms), Xx], axis=-1)
+    r_op = jnp.concatenate([r_w.reshape(S, Ms), rx], axis=-1)
+    assert U.shape == (S, Ms, out)
+
+    # ---- boundary chains (trace-time composition; S is static) ----
+    # p_end_{S-1} = hf_N x-rows (the iterate-folded terminal pN).
+    Pe = [None] * S
+    ce = [None] * S
+    sel_term = jnp.zeros((M, nx), dt).at[
+        N * nz + nu : N * nz + nz
+    ].set(jnp.eye(nx, dtype=dt))
+    Pe[S - 1] = sel_term
+    ce[S - 1] = jnp.zeros((nx,), dt)
+    for s in range(S - 1, 0, -1):
+        # p_end_{s-1} = p_start_s = hf^(s) Up_s + p_end_s Gp_s + rp_s
+        prev = Pe[s] @ Gp[s]
+        prev = prev.at[s * Ms : (s + 1) * Ms].add(Up[s])
+        Pe[s - 1] = prev
+        ce[s - 1] = ce[s] @ Gp[s] + rp[s]
+
+    Xs = [None] * S
+    Jx = [None] * S
+    cx = [None] * S
+    Xs[0] = jnp.zeros((M, nx), dt)
+    Jx[0] = jnp.eye(nx, dtype=dt)
+    cx[0] = jnp.zeros((nx,), dt)
+    for s in range(S - 1):
+        # x_start_{s+1} = x_end_s
+        #   = hf^(s) Ux_s + x_start_s Xx_s + p_end_s Zx_s + rx_s
+        nxt = Xs[s] @ Xx[s] + Pe[s] @ Zx[s]
+        nxt = nxt.at[s * Ms : (s + 1) * Ms].add(Ux[s])
+        Xs[s + 1] = nxt
+        Jx[s + 1] = Jx[s] @ Xx[s]
+        cx[s + 1] = cx[s] @ Xx[s] + ce[s] @ Zx[s] + rx[s]
+
+    return CondensedOperator(
+        U=U, X=X, Z=Z, r=r_op,
+        E_x=jnp.stack(Xs), E_p=jnp.stack(Pe),
+        Jx=jnp.stack(Jx), cx=jnp.stack(cx), cp=jnp.stack(ce),
+        rho=jnp.asarray(rho, dt),
+    )
+
+
 @f32_matmul_precision
 def solve(
     problem: LQRProblem,
@@ -162,7 +385,7 @@ def solve(
     uterm = jnp.ones((N + 1, nz), dt).at[-1, :nu].set(0.0)
     h_masked = problem.h * uterm
     x0 = jnp.asarray(x0, dt)
-    base = x0 @ operator.J + operator.r          # per-replan constant
+    base = operator.prepare(x0)                  # per-replan constant
 
     Dw = lambda w: jnp.einsum("kcz,kz->kc", problem.D, w)
     DTv = lambda vc: jnp.einsum("kcz,kc->kz", problem.D, vc)
@@ -173,7 +396,7 @@ def solve(
         w, z, y, k, _, _, _ = carry
         g = z - inv_rho * y
         hf = (h_masked - sigma * w - DTv(rho_vec * g)) * uterm
-        w_t = (hf.reshape(M) @ operator.T + base).reshape(N + 1, nz)
+        w_t = operator.apply_flat(hf.reshape(M), base).reshape(N + 1, nz)
         z_t = Dw(w_t)
 
         w_new = alpha * w_t + (1.0 - alpha) * w
@@ -353,13 +576,13 @@ def solve_batch(
 
     def project(v):
         out = jnp.clip(v, problem.e_lb, problem.e_ub)
-        for off, dim in cones:
+        for off, dim, kind in projections.normalize_cones(cones):
             blk = v[..., off:off + dim]
             if shift is not None:
                 s = shift[..., off:off + dim]
-                blk = projections.project_soc(blk + s, axis=-1) - s
+                blk = projections.project_cone(blk + s, kind, axis=-1) - s
             else:
-                blk = projections.project_soc(blk, axis=-1)
+                blk = projections.project_cone(blk, kind, axis=-1)
             out = out.at[..., off:off + dim].set(blk)
         return out
 
@@ -412,6 +635,110 @@ def solve_batch(
     )
     st = ADMMState(w=w, z=z, y=y, rho=jnp.full((Bb,), rho, dt))
     return w, st, info
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class OperatorLadder:
+    """Pre-factored operators at a static rho grid — adaptive rho for
+    the realtime loop.
+
+    A rho change invalidates the materialized map (same cost as the
+    reference's full refactorization, lqr_kernel.hpp:93-101), which the
+    1 kHz loop cannot afford inline.  Instead, factor ONCE at R rho
+    rungs (vmapped build), keep the stack on-device, and let each
+    replan (a) solve on its current rung — XLA's dynamic-slice reads
+    only the selected operator from HBM — and (b) emit the OSQP 5.2
+    residual-imbalance suggestion for the NEXT replan's rung.  rho
+    then adapts between ticks at zero rebuild cost.
+
+    ops: any operator pytree (ResolveOperator / CondensedOperator /
+    BatchResolveOperator) stacked on a leading rung axis.
+    """
+
+    rhos: jax.Array        # (R,) ascending rho rungs
+    ops: object            # stacked operator pytree, leading axis R
+
+    def select(self, idx):
+        return jax.tree.map(lambda x: x[idx], self.ops)
+
+
+def build_ladder(
+    problem: LQRProblem,
+    rhos,
+    settings: ADMMSettings = ADMMSettings(),
+    cones: Sequence[projections.ConeSpec] = (),
+    num_segments: Optional[int] = None,
+) -> OperatorLadder:
+    """vmap-build operators at each rho rung (condensed when
+    ``num_segments`` is given, dense otherwise)."""
+    cones = tuple(cones)
+    rhos = jnp.sort(jnp.asarray(rhos, problem.H.dtype))
+    if num_segments is not None:
+        build = lambda r: build_condensed_operator(
+            problem, r, num_segments, settings, cones
+        )
+    else:
+        build = lambda r: build_operator(problem, r, settings, cones)
+    return OperatorLadder(rhos=rhos, ops=jax.vmap(build)(rhos))
+
+
+def replan_ladder_fn(
+    problem: LQRProblem,
+    ladder: OperatorLadder,
+    cones: Sequence[projections.ConeSpec] = (),
+    settings: ADMMSettings = ADMMSettings(),
+    soc_shift=None,
+):
+    """Jitted (x0, state, idx) -> (ws, state, info, idx_next).
+
+    Solves on rung ``idx`` and suggests the next replan's rung from the
+    final scale-normalized residual imbalance (OSQP 5.2, the same rule
+    the batch paths apply inline): move only on a >5x imbalance, to the
+    rung nearest rho * sqrt(rel_prim / rel_dual) in log space.  y/z
+    warm states carry over unchanged (they are unscaled duals/slacks).
+    """
+    cones = tuple(cones)
+    dt = problem.H.dtype
+    mask = _con_mask(problem, cones).astype(dt)
+    h_scale = jnp.max(jnp.abs(problem.h))
+    tiny = jnp.asarray(1e-12, dt)
+
+    def fn(x0, state, idx):
+        op = ladder.select(idx)
+        state = dataclasses.replace(state, rho=ladder.rhos[idx])
+        ws, st, info = solve(
+            problem, x0, op, cones, settings, state, soc_shift
+        )
+        # Post-hoc residual scales from the final iterate (the same
+        # quantities solve() used for its exit test).
+        Dw = jnp.einsum("kcz,kz->kc", problem.D, st.w) * mask
+        prim_scale = jnp.maximum(
+            jnp.max(jnp.abs(Dw)), jnp.max(jnp.abs(st.z))
+        )
+        Hw = jnp.einsum("kij,kj->ki", problem.H, st.w)
+        DTy = jnp.einsum("kcz,kc->kz", problem.D, st.y)
+        dual_scale = jnp.maximum(
+            jnp.max(jnp.abs(Hw)), jnp.maximum(jnp.max(jnp.abs(DTy)),
+                                              h_scale)
+        )
+        rp_rel = info.r_prim / jnp.maximum(prim_scale, tiny)
+        rd_rel = info.r_dual / jnp.maximum(dual_scale, tiny)
+        ratio = jnp.sqrt(
+            jnp.maximum(rp_rel, tiny) / jnp.maximum(rd_rel, tiny)
+        )
+        rho_t = jnp.clip(
+            ladder.rhos[idx] * ratio, settings.rho_min, settings.rho_max
+        )
+        nearest = jnp.argmin(
+            jnp.abs(jnp.log(ladder.rhos) - jnp.log(rho_t))
+        ).astype(jnp.int32)
+        upd = (ratio > 5.0) | (ratio < 0.2)
+        idx_next = jnp.where(upd, nearest, idx)
+        st = dataclasses.replace(st, rho=ladder.rhos[idx_next])
+        return ws, st, info, idx_next
+
+    return jax.jit(fn)
 
 
 def replan_fn(

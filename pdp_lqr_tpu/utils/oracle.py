@@ -164,10 +164,13 @@ def solve_constrained_qp(problem, x0, cones=(), tol=1e-10, maxiter=3000,
     fun = lambda U: 0.5 * U @ P @ U + qv @ U
     jac = lambda U: P @ U + qv
 
+    from pdp_lqr_tpu.ops.projections import normalize_cones
+
     constraints = []
     nc = D.shape[1]
+    cones3 = normalize_cones(cones)
     cone_rows = set()
-    for off, dim in cones:
+    for off, dim, _ in cones3:
         cone_rows.update(range(off, off + dim))
     if nc > 0:
         # Stack all finite box rows as one LinearConstraint.
@@ -187,7 +190,7 @@ def solve_constrained_qp(problem, x0, cones=(), tol=1e-10, maxiter=3000,
             ))
         shift = (np.zeros((N + 1, nc)) if soc_shift is None
                  else np.asarray(soc_shift, np.float64))
-        for off, dim in cones:
+        for off, dim, kind in cones3:
             for k in range(N + 1):
                 if not np.any(D[k, off : off + dim] != 0):
                     continue
@@ -195,13 +198,24 @@ def solve_constrained_qp(problem, x0, cones=(), tol=1e-10, maxiter=3000,
                 bk = Dk @ wb[k] + shift[k, off : off + dim]
                 Mk = Dk @ Wm[k]
 
-                def cone_fun(U, Mk=Mk, bk=bk):
-                    v = Mk @ U + bk
-                    return v[0] - np.linalg.norm(v[1:])
+                if kind == "soc":
+                    def cone_fun(U, Mk=Mk, bk=bk):
+                        v = Mk @ U + bk
+                        return v[0] - np.linalg.norm(v[1:])
 
-                constraints.append(sopt.NonlinearConstraint(
-                    cone_fun, 0.0, np.inf
-                ))
+                    constraints.append(sopt.NonlinearConstraint(
+                        cone_fun, 0.0, np.inf
+                    ))
+                else:  # rsoc: 2 p q >= ||x||^2, p >= 0, q >= 0
+                    def rsoc_fun(U, Mk=Mk, bk=bk):
+                        v = Mk @ U + bk
+                        return np.array([
+                            2.0 * v[0] * v[1] - v[2:] @ v[2:], v[0], v[1],
+                        ])
+
+                    constraints.append(sopt.NonlinearConstraint(
+                        rsoc_fun, 0.0, np.inf
+                    ))
 
     res = sopt.minimize(
         fun, np.zeros(nU), jac=jac, method="trust-constr",

@@ -59,8 +59,9 @@ def assess(
 
     vals = jnp.einsum("kcz,kz->kc", problem.D, ws)
     mask = jnp.any(problem.D != 0, axis=-1)
+    cones3 = projections.normalize_cones(cones)
     cone_rows = jnp.zeros_like(mask)
-    for off, dim in cones:
+    for off, dim, _ in cones3:
         cone_rows = cone_rows.at[..., off : off + dim].set(True)
     box_mask = mask & ~cone_rows
 
@@ -70,14 +71,21 @@ def assess(
     box = jnp.maximum(box, 0.0)
 
     cone = jnp.asarray(0.0, ws.dtype)
-    for off, dim in cones:
+    for off, dim, kind in cones3:
         blk = vals[..., off : off + dim]
         if soc_shift is not None:
             blk = blk + soc_shift[..., off : off + dim]
-        t = blk[..., 0]
-        vnorm = jnp.sqrt(jnp.sum(blk[..., 1:] ** 2, axis=-1))
+        if kind == "soc":
+            t = blk[..., 0]
+            vnorm = jnp.sqrt(jnp.sum(blk[..., 1:] ** 2, axis=-1))
+            viol = vnorm - t
+        else:  # rsoc: p, q >= 0 and ||x|| <= sqrt(2 p q)
+            p, q = blk[..., 0], blk[..., 1]
+            vnorm = jnp.sqrt(jnp.sum(blk[..., 2:] ** 2, axis=-1))
+            cap = jnp.sqrt(2.0 * jnp.maximum(p, 0.0) * jnp.maximum(q, 0.0))
+            viol = jnp.maximum(vnorm - cap, jnp.maximum(-p, -q))
         active = jnp.any(problem.D[..., off : off + dim, :] != 0, axis=(-2, -1))
-        viol = jnp.where(active, vnorm - t, -jnp.inf)
+        viol = jnp.where(active, viol, -jnp.inf)
         cone = jnp.maximum(cone, jnp.max(viol))
     cone = jnp.maximum(cone, 0.0)
 

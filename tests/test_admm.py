@@ -46,6 +46,38 @@ def test_project_zero_vector_on_boundary_row():
     np.testing.assert_allclose(projections.project_soc(v), 0.0)
 
 
+def test_project_rsoc_cases():
+    # inside: 2*2*1 = 4 >= 1
+    v = jnp.asarray([2.0, 1.0, 1.0, 0.0])
+    np.testing.assert_allclose(projections.project_rsoc(v), v)
+    # polar interior (p, q both very negative, tiny x) -> 0
+    v = jnp.asarray([-3.0, -3.0, 0.1, 0.0])
+    np.testing.assert_allclose(
+        projections.project_rsoc(v), 0.0, atol=1e-12
+    )
+    # random batch: result lies in the cone, is idempotent, and the
+    # displacement is orthogonal to the projection (convex-cone KKT).
+    rng = np.random.default_rng(1)
+    v = jnp.asarray(rng.normal(size=(64, 5)))
+    p = np.asarray(projections.project_rsoc(v, axis=-1))
+    assert np.all(p[:, 0] >= -1e-12) and np.all(p[:, 1] >= -1e-12)
+    memb = 2.0 * p[:, 0] * p[:, 1] - np.sum(p[:, 2:] ** 2, axis=-1)
+    assert np.all(memb >= -1e-10)
+    p2 = np.asarray(projections.project_rsoc(jnp.asarray(p), axis=-1))
+    np.testing.assert_allclose(p, p2, atol=1e-10)
+    inner = np.sum((np.asarray(v) - p) * p, axis=-1)
+    np.testing.assert_allclose(inner, 0.0, atol=1e-10)
+
+
+def test_normalize_cones_validation():
+    assert projections.normalize_cones(((0, 3),)) == ((0, 3, "soc"),)
+    assert projections.normalize_cones(((1, 4, "rsoc"),)) == ((1, 4, "rsoc"),)
+    with pytest.raises(ValueError):
+        projections.normalize_cones(((0, 3, "psd"),))
+    with pytest.raises(ValueError):
+        projections.normalize_cones(((0, 1, "rsoc"),))
+
+
 # ------------------------------------------------------------------ admm core
 
 def _settings(**kw):
@@ -140,6 +172,54 @@ def test_soc_constrained_random():
         base, init_iterates(base, rho=0.1), x0, 1e-6
     )
     assert np.max(np.linalg.norm(np.asarray(ws_unc)[:N, :2], axis=-1)) > margin
+    ws_ref = oracle.solve_constrained_qp(
+        problem, np.asarray(x0), cones=cones, soc_shift=shift
+    )
+    np.testing.assert_allclose(ws_np, ws_ref, atol=2e-3)
+
+
+def test_rsoc_constrained_random():
+    """Rotated-SOC control bound ||u||^2 <= 2 p q with constant p, q rows.
+
+    The p/q rows ride entirely on soc_shift (all-zero D rows), giving
+    an effective control ball of radius sqrt(2 p q) — cross-checked
+    against the scipy oracle's nonlinear rsoc constraint.
+    """
+    rng = np.random.default_rng(7)
+    nx, nu, N = 4, 2, 10
+    base = random_lq(nx, nu, N, nc=0, seed=7)
+    nz = nx + nu
+    p0, q0 = 0.2, 0.225            # radius sqrt(2 p q) = 0.3
+    D = np.zeros((N + 1, 4, nz))
+    D[:N, 2, 0] = 1.0              # x1 = u_0
+    D[:N, 3, 1] = 1.0              # x2 = u_1
+    import dataclasses
+
+    problem = dataclasses.replace(
+        base,
+        D=jnp.asarray(D),
+        e_lb=jnp.full((N + 1, 4), -np.inf),
+        e_ub=jnp.full((N + 1, 4), np.inf),
+    )
+    cones = ((0, 4, "rsoc"),)
+    shift = np.zeros((N + 1, 4))
+    shift[:, 0] = p0
+    shift[:, 1] = q0
+    shift_j = jnp.asarray(shift)
+    x0 = jnp.asarray(rng.normal(size=nx) * 0.5)
+    ws, _, info = admm.solve(
+        problem, x0, cones=cones, settings=_settings(max_iter=800),
+        soc_shift=shift_j,
+    )
+    assert bool(info.converged), f"not converged: {info}"
+    ws_np = np.asarray(ws)
+    radius = np.sqrt(2.0 * p0 * q0)
+    norms = np.linalg.norm(ws_np[:N, :2], axis=-1)
+    assert np.all(norms <= radius + 1e-4)
+    from pdp_lqr_tpu import init_iterates
+
+    ws_unc, _ = sequential.solve(base, init_iterates(base, rho=0.1), x0, 1e-6)
+    assert np.max(np.linalg.norm(np.asarray(ws_unc)[:N, :2], axis=-1)) > radius
     ws_ref = oracle.solve_constrained_qp(
         problem, np.asarray(x0), cones=cones, soc_shift=shift
     )

@@ -1,0 +1,136 @@
+"""Single-kernel fused ADMM iteration (ops/pallas_admm) parity.
+
+The single-kernel path must be bit-for-bit the same *algorithm* as the
+two-kernel fused path (solvers/admm.solve_fused): same relaxation,
+projections, dual updates, exact OSQP residuals, per-instance adaptive
+rho.  Interpret mode on CPU/f64 pins the math; hardware lowering is
+covered by bench.py --check.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pdp_lqr_tpu.models import quadrotor, random_lq
+from pdp_lqr_tpu.solvers import admm
+
+
+def _settings(**kw):
+    base = dict(max_iter=60, rho_update_interval=25, rho=0.1)
+    base.update(kw)
+    return admm.ADMMSettings(**base)
+
+
+def _batched(problem, B):
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), problem
+    )
+
+
+def test_single_kernel_matches_two_kernel_box():
+    """Box-constrained quadrotor, adaptive rho ON: identical sequences."""
+    problem, _ = quadrotor(N=10, constrained=True)
+    B = 3
+    rng = np.random.default_rng(2)
+    bp = _batched(problem, B)
+    bp = dataclasses.replace(
+        bp, c=bp.c + jnp.asarray(rng.normal(size=bp.c.shape) * 0.005)
+    )
+    x0s = jnp.asarray(rng.normal(size=(B, 12)) * 0.05)
+    st = _settings(max_iter=80)
+    ws2, st2, info2 = admm.solve_fused(bp, x0s, (), st, interpret=True)
+    ws1, st1, info1 = admm.solve_fused(
+        bp, x0s, (), st, interpret=True, single_kernel=True
+    )
+    np.testing.assert_allclose(np.asarray(ws1), np.asarray(ws2), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(st1.z), np.asarray(st2.z), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(st1.y), np.asarray(st2.y), atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(st1.rho), np.asarray(st2.rho), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(info1.r_prim), np.asarray(info2.r_prim), rtol=1e-6,
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(info1.r_dual), np.asarray(info2.r_dual), rtol=1e-6,
+        atol=1e-12,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(info1.iter_converged), np.asarray(info2.iter_converged)
+    )
+
+
+def test_single_kernel_matches_two_kernel_cones():
+    """SOC + RSOC + shift + box rows in one problem."""
+    rng = np.random.default_rng(9)
+    nx, nu, N = 4, 2, 8
+    base = random_lq(nx, nu, N, nc=0, seed=9)
+    nz = nx + nu
+    # Rows: [soc t; soc u0; soc u1; rsoc p; rsoc q; rsoc x1; box x-row]
+    D = np.zeros((N + 1, 7, nz))
+    D[:N, 1, 0] = 1.0
+    D[:N, 2, 1] = 1.0
+    D[:N, 5, 0] = 0.7          # rsoc x-row on u0
+    D[:, 6, nu] = 1.0          # box on x0 (all stages)
+    lb = np.full((N + 1, 7), -np.inf)
+    ub = np.full((N + 1, 7), np.inf)
+    lb[:, 6], ub[:, 6] = -0.4, 0.4
+    problem = dataclasses.replace(
+        base, D=jnp.asarray(D), e_lb=jnp.asarray(lb), e_ub=jnp.asarray(ub)
+    )
+    shift = np.zeros((N + 1, 7))
+    shift[:, 0] = 0.25          # soc margin
+    shift[:, 3] = 0.2           # rsoc p
+    shift[:, 4] = 0.2           # rsoc q
+    shift_j = jnp.asarray(shift)
+    cones = ((0, 3), (3, 3, "rsoc"))
+
+    B = 2
+    bp = _batched(problem, B)
+    x0s = jnp.asarray(rng.normal(size=(B, nx)) * 0.3)
+    st = _settings(max_iter=100)
+    ws2, _, info2 = admm.solve_fused(
+        bp, x0s, cones, st, soc_shift=shift_j, interpret=True
+    )
+    ws1, _, info1 = admm.solve_fused(
+        bp, x0s, cones, st, soc_shift=shift_j, interpret=True,
+        single_kernel=True,
+    )
+    np.testing.assert_allclose(np.asarray(ws1), np.asarray(ws2), atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(info1.r_prim), np.asarray(info2.r_prim), rtol=1e-6,
+        atol=1e-12,
+    )
+
+
+def test_single_kernel_multi_chunk():
+    """B > chunk splits into lane chunks with identical results."""
+    from pdp_lqr_tpu.ops import pallas_admm, pallas_riccati
+
+    problem, _ = quadrotor(N=6, constrained=True)
+    B = 4
+    rng = np.random.default_rng(4)
+    bp = _batched(problem, B)
+    bp = dataclasses.replace(
+        bp, c=bp.c + jnp.asarray(rng.normal(size=bp.c.shape) * 0.004)
+    )
+    x0s = jnp.asarray(rng.normal(size=(B, 12)) * 0.05)
+    st = _settings(max_iter=30)
+    ws_ref, _, _ = admm.solve_fused(
+        bp, x0s, (), st, interpret=True, single_kernel=True
+    )
+
+    orig = pallas_admm._pick_chunk
+    try:
+        pallas_admm._pick_chunk = lambda Bt, *a: 2 if Bt % 2 == 0 else Bt
+        ws_chunked, _, _ = admm.solve_fused(
+            bp, x0s, (), st, interpret=True, single_kernel=True
+        )
+    finally:
+        pallas_admm._pick_chunk = orig
+    np.testing.assert_allclose(
+        np.asarray(ws_chunked), np.asarray(ws_ref), atol=1e-12
+    )

@@ -49,6 +49,55 @@ def test_operator_matches_inner_solve():
     )
 
 
+def test_condensed_operator_matches_dense():
+    """Segment-factored operator == dense T map (same affine function)."""
+    problem, settings = _setup(N=24)
+    dense = realtime.build_operator(problem, rho=0.1, settings=settings)
+    for S in (2, 4, 8):
+        cond = realtime.build_condensed_operator(
+            problem, rho=0.1, num_segments=S, settings=settings
+        )
+        rng = np.random.default_rng(S)
+        M = (problem.N + 1) * problem.nz
+        hf = jnp.asarray(rng.normal(size=M) * 0.3)
+        x0 = jnp.asarray(rng.normal(size=problem.nx) * 0.2)
+        w_dense = dense.apply_flat(hf, dense.prepare(x0))
+        w_cond = cond.apply_flat(hf, cond.prepare(x0))
+        np.testing.assert_allclose(
+            np.asarray(w_cond), np.asarray(w_dense), atol=1e-9
+        )
+
+
+def test_condensed_operator_full_solve():
+    """realtime.solve runs unchanged on the factored operator."""
+    problem, _ = _setup(N=20)
+    settings = admm.ADMMSettings(
+        sigma=SIGMA, rho=1.0, max_iter=200, rho_update_interval=200,
+        adaptive_rho=False, eps_abs=1e-5, eps_rel=1e-4,
+    )
+    x0 = jnp.asarray(np.full(12, 0.05))
+    dense = realtime.build_operator(problem, rho=1.0, settings=settings)
+    cond = realtime.build_condensed_operator(
+        problem, rho=1.0, num_segments=4, settings=settings
+    )
+    ws_d, _, info_d = realtime.solve(problem, x0, dense, (), settings)
+    ws_c, _, info_c = realtime.solve(problem, x0, cond, (), settings)
+    assert bool(info_c.converged)
+    assert int(info_c.iterations) == int(info_d.iterations)
+    np.testing.assert_allclose(np.asarray(ws_c), np.asarray(ws_d),
+                               atol=1e-7)
+
+
+def test_condensed_operator_segment_validation():
+    problem, settings = _setup(N=10)
+    import pytest
+
+    with pytest.raises(ValueError):
+        realtime.build_condensed_operator(
+            problem, rho=0.1, num_segments=3, settings=settings
+        )
+
+
 def test_parity_with_batch_admm():
     """Same iterates as admm.solve when neither path exits early."""
     problem, settings = _setup()
@@ -98,6 +147,63 @@ def test_early_exit_and_warm_start():
     _, _, info_warm = realtime.solve(problem, x0b, op, (), settings, state)
     assert bool(info_warm.converged)
     assert int(info_warm.iterations) < int(info.iterations) // 2
+
+
+def test_operator_ladder_adapts_rho():
+    """Ladder replans solve on the selected rung and move the rung on a
+    residual imbalance (adaptive rho without an inline rebuild)."""
+    problem, _ = _setup(N=12)
+    settings = admm.ADMMSettings(
+        sigma=SIGMA, rho=1.0, max_iter=50, rho_update_interval=50,
+        adaptive_rho=False, eps_abs=1e-9, eps_rel=1e-9,
+    )
+    rhos = [1e-4, 1e-2, 1.0, 1e2]
+    ladder = realtime.build_ladder(problem, rhos, settings)
+    fn = realtime.replan_ladder_fn(problem, ladder, (), settings)
+    x0 = jnp.asarray(np.full(12, 0.05))
+    state = admm.init_state(problem, settings)
+
+    # Rung solve == direct solve with that rung's operator.
+    idx0 = jnp.asarray(0, jnp.int32)
+    ws, st, info, idx1 = fn(x0, state, idx0)
+    op0 = realtime.build_operator(problem, rho=rhos[0], settings=settings)
+    ws_ref, _, info_ref = realtime.solve(
+        problem, x0, op0, (), settings, state
+    )
+    np.testing.assert_allclose(np.asarray(ws), np.asarray(ws_ref),
+                               atol=1e-8)
+    # rho = 1e-4 on this problem leaves a large primal imbalance: the
+    # suggestion must move up the ladder.
+    assert int(idx1) > 0
+    # The suggested rung must not regress once re-solved there (a few
+    # ticks settle onto a stable rung).
+    idx = idx1
+    for _ in range(3):
+        ws, st, info, idx = fn(x0, st, idx)
+    assert int(idx) >= 1
+    np.testing.assert_allclose(
+        float(st.rho), float(np.asarray(ladder.rhos)[int(idx)]), rtol=0
+    )
+
+
+def test_ladder_condensed_rungs():
+    """Ladder over condensed operators: same map as dense rungs."""
+    problem, settings = _setup(N=12)
+    rhos = [0.05, 0.5]
+    lad_d = realtime.build_ladder(problem, rhos, settings)
+    lad_c = realtime.build_ladder(problem, rhos, settings, num_segments=3)
+    rng = np.random.default_rng(0)
+    M = (problem.N + 1) * problem.nz
+    hf = jnp.asarray(rng.normal(size=M) * 0.2)
+    x0 = jnp.asarray(rng.normal(size=problem.nx) * 0.1)
+    for i in range(2):
+        od = lad_d.select(jnp.asarray(i))
+        oc = lad_c.select(jnp.asarray(i))
+        np.testing.assert_allclose(
+            np.asarray(oc.apply_flat(hf, oc.prepare(x0))),
+            np.asarray(od.apply_flat(hf, od.prepare(x0))),
+            atol=1e-9,
+        )
 
 
 def test_replan_fn_jits_once():
