@@ -124,6 +124,54 @@ def run_check(on_cpu: bool) -> int:
     return 0
 
 
+def run_admm_bench(args, on_cpu: bool, backend: str) -> int:
+    """Full conic ADMM loop throughput (constrained quadrotor batch).
+
+    Times solve_fused end-to-end (projections, duals, exact residuals,
+    per-instance adaptive rho) at a fixed iteration count; reports
+    constrained SOLVES/s (one solve = --admm iterations) so the number
+    composes with the headline inner-solve metric.
+    """
+    from pdp_lqr_tpu.models import quadrotor
+    from pdp_lqr_tpu.solvers import admm
+
+    B = args.batch if args.batch is not None else (8 if on_cpu else 1024)
+    N = args.horizon if args.horizon != 512 else 64   # short-horizon path
+    K = args.admm
+    problem, _ = quadrotor(N=N, constrained=True, dtype=jnp.float32)
+    bp = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), problem)
+    x0s = jnp.full((B, problem.nx), 0.03, jnp.float32)
+    settings = admm.ADMMSettings(
+        max_iter=K, rho_update_interval=25, rho=0.1,
+        eps_abs=1e-4, eps_rel=1e-4,
+    )
+    storage_dt = jnp.bfloat16 if (args.bf16 and args.single_kernel) \
+        else None
+    fn = jax.jit(lambda p, x: admm.solve_fused(
+        p, x, (), settings, interpret=on_cpu,
+        single_kernel=args.single_kernel, storage_dtype=storage_dt)[0])
+    fence = jax.jit(lambda w: jnp.all(jnp.isfinite(w)))
+    ws = fn(bp, x0s)
+    assert bool(fence(ws)), "non-finite ADMM output"
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        ws = fn(bp, x0s)
+    bool(fence(ws))
+    dt = time.perf_counter() - t0
+    solves_per_s = B * args.iters / dt
+    label = "single-kernel" if args.single_kernel else "two-kernel"
+    if storage_dt is not None:
+        label += "+bf16"
+    print(json.dumps({
+        "metric": f"conic ADMM solves/s/chip ({K} iters/solve, N={N}, "
+                  f"B={B}, {label}, {backend})",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / TARGET_PER_CHIP, 4),
+    }))
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=None)
@@ -142,6 +190,14 @@ def main():
     ap.add_argument("--check", action="store_true",
                     help="run the on-device cross-backend parity gate "
                          "instead of the throughput bench")
+    ap.add_argument("--admm", type=int, default=0, metavar="ITERS",
+                    help="bench the FULL conic ADMM loop (solve_fused, "
+                         "box-constrained quadrotor) at this iteration "
+                         "count instead of the inner solve")
+    ap.add_argument("--single-kernel", action="store_true",
+                    help="--admm only: one pallas_call per iteration "
+                         "(ops/pallas_admm) instead of the "
+                         "backward/forward kernel pair")
     ap.add_argument("--bf16", action="store_true",
                     help="pallas only: stream stage data in bfloat16 "
                          "(f32 compute) — halves HBM footprint for "
@@ -152,6 +208,8 @@ def main():
     on_cpu = backend == "cpu"
     if args.check:
         sys.exit(run_check(on_cpu))
+    if args.admm:
+        sys.exit(run_admm_bench(args, on_cpu, backend))
     B = args.batch if args.batch is not None else (32 if on_cpu else 4096)
     N = args.horizon
 

@@ -45,6 +45,13 @@ def main():
     ap.add_argument("--horizon", type=int, default=64)
     ap.add_argument("--admm-iters", type=int, default=20)
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--segments", type=int, default=0,
+                    help="segments for the condensed realtime operator "
+                         "(0 = auto ~ sqrt(M/2nx); must divide N)")
+    ap.add_argument("--skip-xla", action="store_true",
+                    help="skip the slow XLA B=1 section (long horizons)")
+    ap.add_argument("--skip-dense-op", action="store_true",
+                    help="skip the dense-operator path (OOM-scale M)")
     args = ap.parse_args()
 
     from pdp_lqr_tpu.models import quadrotor
@@ -62,15 +69,17 @@ def main():
 
     # ---- single instance (XLA backend, B=1) -----------------------------
     x0 = jnp.zeros(problem.nx, dtype)
-    f1 = jax.jit(lambda p, x: admm.solve(p, x, (), settings(K))[0])
-    f2 = jax.jit(lambda p, x: admm.solve(p, x, (), settings(2 * K))[0])
-    tK = _time(f1, problem, x0)
-    t2K = _time(f2, problem, x0)
-    per_iter = (t2K - tK) / K
-    replan_ms = per_iter * K * 1e3
-    print(f"single instance: {per_iter*1e6:.1f} us/ADMM-iter -> "
-          f"{K}-iter warm replan ~= {replan_ms:.3f} ms "
-          f"({'WITHIN' if replan_ms <= 1.0 else 'OVER'} 1 ms / 1 kHz budget)")
+    if not args.skip_xla:
+        f1 = jax.jit(lambda p, x: admm.solve(p, x, (), settings(K))[0])
+        f2 = jax.jit(lambda p, x: admm.solve(p, x, (), settings(2 * K))[0])
+        tK = _time(f1, problem, x0)
+        t2K = _time(f2, problem, x0)
+        per_iter = (t2K - tK) / K
+        replan_ms = per_iter * K * 1e3
+        print(f"single instance: {per_iter*1e6:.1f} us/ADMM-iter -> "
+              f"{K}-iter warm replan ~= {replan_ms:.3f} ms "
+              f"({'WITHIN' if replan_ms <= 1.0 else 'OVER'} "
+              f"1 ms / 1 kHz budget)")
 
     # ---- real-time dense-operator path (solvers/realtime) ---------------
     # The 1 kHz production path: the inner solve is one (M, M) MXU
@@ -85,36 +94,61 @@ def main():
             adaptive_rho=False, eps_abs=0.0, eps_rel=0.0,
         )
 
-    op = realtime.build_operator(problem, rho=1.0,
-                                 settings=rt_settings(K))
     state0 = admm.init_state(problem, rt_settings(K))
-    r1 = jax.jit(lambda x, s: realtime.solve(
-        problem, x, op, (), rt_settings(K), s)[0])
-    r2 = jax.jit(lambda x, s: realtime.solve(
-        problem, x, op, (), rt_settings(2 * K), s)[0])
-    tK = _time(r1, x0, state0)
-    t2K = _time(r2, x0, state0)
-    per_iter = (t2K - tK) / K
-    replan_ms = per_iter * K * 1e3
-    fixed_ms = max(tK - per_iter * K, 0.0) * 1e3
-    print(f"realtime operator path: {per_iter*1e6:.1f} us/ADMM-iter -> "
-          f"{K}-iter warm replan ~= {replan_ms:.3f} ms marginal "
-          f"(+{fixed_ms:.3f} ms fixed dispatch) "
-          f"({'WITHIN' if replan_ms <= 1.0 else 'OVER'} 1 ms / 1 kHz budget)")
+
+    def time_operator(op, label):
+        r1 = jax.jit(lambda x, s: realtime.solve(
+            problem, x, op, (), rt_settings(K), s)[0])
+        r2 = jax.jit(lambda x, s: realtime.solve(
+            problem, x, op, (), rt_settings(2 * K), s)[0])
+        tK = _time(r1, x0, state0)
+        t2K = _time(r2, x0, state0)
+        per_iter = (t2K - tK) / K
+        replan_ms = per_iter * K * 1e3
+        fixed_ms = max(tK - per_iter * K, 0.0) * 1e3
+        print(f"{label}: {per_iter*1e6:.1f} us/ADMM-iter -> "
+              f"{K}-iter warm replan ~= {replan_ms:.3f} ms marginal "
+              f"(+{fixed_ms:.3f} ms fixed dispatch) "
+              f"({'WITHIN' if replan_ms <= 1.0 else 'OVER'} "
+              f"1 ms / 1 kHz budget)")
+
+    if not args.skip_dense_op:
+        op = realtime.build_operator(problem, rho=1.0,
+                                     settings=rt_settings(K))
+        time_operator(op, "realtime operator path")
+
+    # ---- condensed (segment-factored) operator ---------------------------
+    # O(M^2) -> O(M^2/S + 2 M S nx) memory/bandwidth: the long-horizon
+    # 1 kHz form (see realtime.CondensedOperator).
+    N = args.horizon
+    S = args.segments
+    if S == 0:
+        M = (N + 1) * problem.nz
+        target = max(2, int(round((M / (2 * problem.nx)) ** 0.5)))
+        S = max(s for s in range(2, N + 1) if N % s == 0 and s <= target)
+    if N % S == 0:
+        cop = realtime.build_condensed_operator(
+            problem, rho=1.0, num_segments=S, settings=rt_settings(K))
+        time_operator(cop, f"condensed operator (S={S}) path")
 
     # ---- fused batch (Pallas kernels) -----------------------------------
     B = args.batch
     bp = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), problem)
     x0s = jnp.zeros((B, problem.nx), dtype)
-    g1 = jax.jit(lambda p, x: admm.solve_fused(p, x, (), settings(K))[0])
-    g2 = jax.jit(lambda p, x: admm.solve_fused(p, x, (), settings(2 * K))[0])
-    tK = _time(g1, bp, x0s)
-    t2K = _time(g2, bp, x0s)
-    per_iter = (t2K - tK) / K
-    total_ms = per_iter * K * 1e3
-    print(f"fused batch B={B}: {per_iter*1e6:.1f} us/ADMM-iter -> "
-          f"{K}-iter replan ~= {total_ms:.3f} ms total, "
-          f"{total_ms/B*1e3:.1f} us/instance")
+    for sk in (False, True):
+        g1 = jax.jit(lambda p, x: admm.solve_fused(
+            p, x, (), settings(K), single_kernel=sk)[0])
+        g2 = jax.jit(lambda p, x: admm.solve_fused(
+            p, x, (), settings(2 * K), single_kernel=sk)[0])
+        tK = _time(g1, bp, x0s)
+        t2K = _time(g2, bp, x0s)
+        per_iter = (t2K - tK) / K
+        total_ms = per_iter * K * 1e3
+        label = "single-kernel" if sk else "two-kernel"
+        print(f"fused batch B={B} ({label}): "
+              f"{per_iter*1e6:.1f} us/ADMM-iter -> "
+              f"{K}-iter replan ~= {total_ms:.3f} ms total, "
+              f"{total_ms/B*1e3:.1f} us/instance")
 
 
 if __name__ == "__main__":

@@ -141,18 +141,23 @@ def _admm_iter_kernel(nu, nx, nc, N, cones, alpha, sigma, has_shift,
         P_scr[:] = PN_ref[:]
         p_scr[:] = pN_ref[:]
 
+    # Stage data may be stored narrower (bf16) than the compute/carry
+    # dtype — upcast at load (see _backward_kernel); iterates, bounds,
+    # and outputs stay in the carry precision.
+    cdt = P_scr.dtype
+
     @pl.when(t < N)
     def _backward():
         rho = rho_ref[0]                       # (chunk,)
-        A = A_ref[0]
-        Bm = B_ref[0]
-        c = c_ref[0]
-        H = Hs_ref[0]
-        h = h_ref[0] - sigma * w_ref[0]
+        A = A_ref[0].astype(cdt)
+        Bm = B_ref[0].astype(cdt)
+        c = c_ref[0].astype(cdt)
+        H = Hs_ref[0].astype(cdt)
+        h = h_ref[0].astype(cdt) - sigma * w_ref[0]
         # Penalty fold with in-kernel rg = rho z - y (z, y are
         # invariantly zero on padded rows, so no mask is needed).
         if nc > 0:
-            D = D_ref[0]
+            D = D_ref[0].astype(cdt)
             z = z_ref[0]
             y = y_ref[0]
             for ci in range(nc):
@@ -212,9 +217,9 @@ def _admm_iter_kernel(nu, nx, nc, N, cones, alpha, sigma, has_shift,
         d = d_scr[pl.ds(s_idx, 1)][0]
         u = _mv(K, x) + d
         w_t = jnp.concatenate([u, x], axis=0)          # (nz, chunk)
-        A = A_ref[0]
-        Bm = B_ref[0]
-        c = c_ref[0]
+        A = A_ref[0].astype(cdt)
+        Bm = B_ref[0].astype(cdt)
+        c = c_ref[0].astype(cdt)
         xn = _mv(A, x) + _mv(Bm, u) + c
         x_scr[:] = xn
 
@@ -226,7 +231,7 @@ def _admm_iter_kernel(nu, nx, nc, N, cones, alpha, sigma, has_shift,
         w = w_ref[0]
         z = z_ref[0]
         y = y_ref[0]
-        D = D_ref[0]
+        D = D_ref[0].astype(cdt)
         m = m_ref[0]
         lb = lb_ref[0]
         ub = ub_ref[0]
@@ -244,7 +249,7 @@ def _admm_iter_kernel(nu, nx, nc, N, cones, alpha, sigma, has_shift,
         yn_ref[0] = y_new
 
         # Residual partials (exact OSQP 3.4 terms; see solvers/admm).
-        Hs = Hs_ref[0]
+        Hs = Hs_ref[0].astype(cdt)
         Dw_new = _mv(D, w_new)
         dw = w - w_t
         zt_term = rho[None, :] * (
@@ -289,6 +294,11 @@ def admm_iter_lanes(A, B, c, Hs, h, D, lb, ub, mask, shift, w, z, y, rho,
 
     ``cones`` must be normalized (offset, dim, kind) 3-tuples.
 
+    The static stage tensors (A, B, c, Hs, h, D) may be stored in a
+    narrower dtype (bf16) than the iterates — the kernel upcasts at
+    load, so HBM streaming halves while all arithmetic, iterates, and
+    outputs stay in the iterate (compute) precision.
+
     Returns (w_new, z_new, y_new, xN, res) with res (4, B) rows
     [r_prim, r_dual, prim_scale, dual_scale] maxima over stages 0..N-1
     (the caller folds in the terminal stage).
@@ -298,13 +308,17 @@ def admm_iter_lanes(A, B, c, Hs, h, D, lb, ub, mask, shift, w, z, y, rho,
     nc = D.shape[1]
     if nc == 0:
         raise ValueError("single-kernel ADMM iteration requires nc > 0")
-    dt = A.dtype
+    dt = w.dtype          # compute/carry dtype (iterates, outputs)
     has_shift = shift is not None
 
     # Streamed words/lane (double-buffered by the pipeline) and live
-    # scratch: the (K, d) spill dominates and scales with N.
+    # scratch: the (K, d) spill dominates and scales with N.  Stage
+    # tensors (A..D) may be stored narrower than the compute dtype
+    # (upcast at load in-kernel); account for them at their storage
+    # width in compute-word units.
+    sw = jnp.dtype(A.dtype).itemsize / jnp.dtype(dt).itemsize
     words = (
-        nx * nx + nx * nu + nx + nz * nz + nz + nc * nz   # A B c Hs h D
+        sw * (nx * nx + nx * nu + nx + nz * nz + nz + nc * nz)  # A..D
         + 3 * nc + (nc if has_shift else 0)               # lb ub mask shift
         + nz + 2 * nc                                     # w z y
         + nz + 2 * nc                                     # outputs
@@ -314,7 +328,13 @@ def admm_iter_lanes(A, B, c, Hs, h, D, lb, ub, mask, shift, w, z, y, rho,
         + 3 * nx * nx + 3 * nx + 4       # P, p, x, acc (+ slack)
         + 20 * nz * nz                    # live temporaries
     )
-    chunk = _pick_chunk(Bt, words, temp, jnp.dtype(dt).itemsize)
+    # The spill is modeled explicitly above, so the conservative 12 MB
+    # default budget (meant to absorb unmodeled temporaries) would
+    # needlessly halve the lane chunk; size against the 48 MB scoped
+    # limit instead (measured: 256 -> 512 lanes is ~2x throughput at
+    # quadrotor N=64; chunk still degrades for long N / big nz).
+    chunk = _pick_chunk(Bt, words, temp, jnp.dtype(dt).itemsize,
+                        budget=36 << 20)
     n_chunks = Bt // chunk
 
     def both(*dims):

@@ -405,7 +405,7 @@ VMEM_BUDGET = 12 << 20  # streamed blocks + live temporaries per chunk
 
 
 def _pick_chunk(Bt: int, words_per_lane: int, temp_words: int,
-                dtype_bytes: int) -> int:
+                dtype_bytes: int, budget: int | None = None) -> int:
     """Largest chunk <= LANE_CHUNK fitting the VMEM budget.
 
     Budget covers the double-buffered streamed stage blocks plus an
@@ -414,14 +414,23 @@ def _pick_chunk(Bt: int, words_per_lane: int, temp_words: int,
     Problem dims vary: quadrotor nz=16 runs 512 lanes; mass-spring
     nz=50 drops to 64 (lane tiles pad below 128 — wasteful but
     correct, and large-state stages have ample per-lane work).
+
+    ``budget`` overrides VMEM_BUDGET for kernels whose word estimate
+    already models their large scratch explicitly (the fused ADMM
+    iteration's (K, d) gain spill) and that run under the raised 48 MB
+    scoped-vmem limit (_compiler_params): the 12 MB default is a
+    heuristic allowance for unmodeled temporaries, and letting it force
+    a half-size lane chunk costs ~2x throughput on the MXU.
     """
+    if budget is None:
+        budget = VMEM_BUDGET
     # Candidates derive from LANE_CHUNK (not a hardcoded list) so tests
     # can shrink it and genuinely exercise the multi-chunk path.
     for chunk in (LANE_CHUNK, LANE_CHUNK // 2, LANE_CHUNK // 4):
         if chunk <= 0 or chunk > Bt or Bt % chunk != 0:
             continue
         est = (2 * words_per_lane + temp_words) * chunk * dtype_bytes
-        if est <= VMEM_BUDGET:
+        if est <= budget:
             return chunk
     # 128 is the hardware floor for a lane-dim block; rely on the
     # raised vmem limit (see _compiler_params) for very large states.

@@ -345,6 +345,7 @@ def solve_fused(
     soc_shift=None,
     interpret: bool = False,
     single_kernel: bool = False,
+    storage_dtype=None,
 ):
     """Batch-fused conic ADMM: inner solves via the Pallas lane kernels.
 
@@ -363,6 +364,14 @@ def solve_fused(
     (ops/pallas_admm): backward + forward + projection + duals +
     residual maxima fused, gains spilled to VMEM instead of HBM — the
     short-horizon fast path (the (K, d) spill bounds N; see module doc).
+
+    ``storage_dtype`` (e.g. jnp.bfloat16, single_kernel only) streams
+    the batch-invariant stage tensors (A, B, c, H+sigma I, h, D) at the
+    narrower width; the kernel upcasts at load, so iterates, bounds,
+    projections, and residuals keep full precision while the dominant
+    HBM traffic halves.  The solution inherits the bf16 rounding of the
+    problem DATA (~1e-2 relative on H), same tradeoff as the inner
+    solve's bf16 mode (ops/pallas_riccati.prepare_lanes).
 
     Returns (ws (B, N+1, nz), ADMMState (batched), ADMMInfo (batched)).
     """
@@ -480,6 +489,17 @@ def solve_fused(
     interval = max(1, settings.rho_update_interval)
     cones3 = projections.normalize_cones(cones)
 
+    # Narrow-storage aliases for the single-kernel path (upcast at
+    # load in ops/pallas_admm; XLA-side terminal math stays full-width).
+    if storage_dtype is not None and not single_kernel:
+        raise ValueError("storage_dtype requires single_kernel=True "
+                         "(use pallas_riccati.solve_lanes storage_dtype "
+                         "for the inner solve)")
+    _st = (lambda x: x.astype(storage_dtype)) if storage_dtype else \
+        (lambda x: x)
+    A_k, B_k, c_k = _st(A_l), _st(B_l), _st(c_l)
+    H_k, h_k, D_k = _st(H_l), _st(h_base[:-1]), _st(Dst_l)
+
     def _finish_stats(w_new, z_new, y_new, rho, stats,
                       r_prim, r_dual, prim_scale, dual_scale):
         """Shared convergence / adaptive-rho tail (per-instance)."""
@@ -524,7 +544,7 @@ def solve_fused(
         if shift_l is not None:
             shift_st = jnp.broadcast_to(shift_l[:-1], (N, nc, Bb))
         w_st, z_st, y_st, xN, res = pa.admm_iter_lanes(
-            A_l, B_l, c_l, H_l, h_base[:-1], Dst_l,
+            A_k, B_k, c_k, H_k, h_k, D_k,
             lb_l[:-1], ub_l[:-1], mask[:-1], shift_st,
             w[:-1], z[:-1], y[:-1], rho_row, PN, pN, x0_l,
             nu=nu, cones=cones3, alpha=alpha, sigma=sigma,

@@ -106,6 +106,41 @@ def test_single_kernel_matches_two_kernel_cones():
     )
 
 
+def test_single_kernel_bf16_storage():
+    """bf16 stage streaming: full-precision iterates, data-rounding-
+    bounded solution error, compute-dtype outputs."""
+    problem, _ = quadrotor(N=10, constrained=True)
+    B = 2
+    rng = np.random.default_rng(7)
+    bp = _batched(problem, B)
+    bp = dataclasses.replace(
+        bp, c=bp.c + jnp.asarray(rng.normal(size=bp.c.shape) * 0.005)
+    )
+    x0s = jnp.asarray(rng.normal(size=(B, 12)) * 0.05)
+    st = _settings(max_iter=60)
+    ws_f, stf, _ = admm.solve_fused(
+        bp, x0s, (), st, interpret=True, single_kernel=True
+    )
+    ws_b, stb, info_b = admm.solve_fused(
+        bp, x0s, (), st, interpret=True, single_kernel=True,
+        storage_dtype=jnp.bfloat16,
+    )
+    assert ws_b.dtype == ws_f.dtype          # compute dtype, not bf16
+    assert stb.y.dtype == stf.y.dtype
+    assert bool(jnp.all(jnp.isfinite(ws_b)))
+    # Solution error is bounded by the bf16 rounding of the problem
+    # data (~0.4% relative), not by iterate accumulation.
+    scale = max(1.0, float(jnp.max(jnp.abs(ws_f))))
+    err = float(jnp.max(jnp.abs(ws_b - ws_f))) / scale
+    assert err < 3e-2, err
+    # storage_dtype is a single-kernel feature.
+    import pytest
+
+    with pytest.raises(ValueError):
+        admm.solve_fused(bp, x0s, (), st, interpret=True,
+                         storage_dtype=jnp.bfloat16)
+
+
 def test_single_kernel_multi_chunk():
     """B > chunk splits into lane chunks with identical results."""
     from pdp_lqr_tpu.ops import pallas_admm, pallas_riccati
@@ -125,7 +160,8 @@ def test_single_kernel_multi_chunk():
 
     orig = pallas_admm._pick_chunk
     try:
-        pallas_admm._pick_chunk = lambda Bt, *a: 2 if Bt % 2 == 0 else Bt
+        pallas_admm._pick_chunk = \
+            lambda Bt, *a, **kw: 2 if Bt % 2 == 0 else Bt
         ws_chunked, _, _ = admm.solve_fused(
             bp, x0s, (), st, interpret=True, single_kernel=True
         )
