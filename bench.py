@@ -109,6 +109,39 @@ def run_check(on_cpu: bool) -> int:
     # hardware lowering; dense/pallas are the large-state backends).
     case("mass_spring_n48", mp, mits, mx0, tol=5e-4, skip=("assoc",))
 
+    # Conic ADMM single- vs two-kernel ON DEVICE: cones + soc_shift
+    # exercise the in-kernel projection (interpret-mode CPU cannot
+    # catch lowering failures here — the r2 scatter bug shipped past
+    # every CPU test and died only on silicon).
+    from pdp_lqr_tpu.models import quadrotor
+    from pdp_lqr_tpu.solvers import admm as admm_mod
+
+    cp, cones = quadrotor(N=32, constrained=True, thrust_cone=True,
+                          dtype=jnp.float32)
+    Bc = 128
+    cbp = jax.tree.map(lambda x: jnp.broadcast_to(x, (Bc,) + x.shape), cp)
+    cx0 = jnp.asarray(
+        np.random.default_rng(2).normal(size=(Bc, cp.nx)) * 0.05,
+        jnp.float32)
+    shift = jnp.zeros((cp.N + 1, cp.nc), jnp.float32).at[:, 16].set(8.0)
+    cst = admm_mod.ADMMSettings(max_iter=30, rho=0.1,
+                                adaptive_rho=False,
+                                eps_abs=1e-4, eps_rel=1e-4)
+    t0 = time.perf_counter()
+    w2k = np.asarray(jax.jit(lambda p, x: admm_mod.solve_fused(
+        p, x, tuple(cones), cst, soc_shift=shift, interpret=on_cpu,
+        single_kernel=False)[0])(cbp, cx0))
+    w1k = np.asarray(jax.jit(lambda p, x: admm_mod.solve_fused(
+        p, x, tuple(cones), cst, soc_shift=shift, interpret=on_cpu,
+        single_kernel=True)[0])(cbp, cx0))
+    errc = float(np.abs(w1k - w2k).max() / max(1.0, np.abs(w2k).max()))
+    results["conic_admm/single_vs_two_kernel"] = errc
+    print(f"# conic_admm/single_vs_two_kernel: rel_err={errc:.3e} "
+          f"(compile+run {time.perf_counter() - t0:.0f}s)",
+          file=sys.stderr, flush=True)
+    if not np.isfinite(errc) or errc > 1e-3:
+        failures.append(f"conic_admm/single_vs_two_kernel: {errc:.3e}")
+
     worst = max(results.values())
     print(json.dumps({
         "metric": "on-device cross-backend parity (max rel err, f32, "

@@ -12,6 +12,7 @@ from pdp_lqr_tpu.models.quadrotor import quadrotor, QUADROTOR_X0
 from pdp_lqr_tpu.models.mass_spring import mass_spring_chain
 from pdp_lqr_tpu.models.random_lq import random_lq
 from pdp_lqr_tpu.models.centroidal import centroidal
+from pdp_lqr_tpu.models.rocket import rocket, rocket_x0
 
 __all__ = [
     "double_integrator",
@@ -20,4 +21,6 @@ __all__ = [
     "mass_spring_chain",
     "random_lq",
     "centroidal",
+    "rocket",
+    "rocket_x0",
 ]

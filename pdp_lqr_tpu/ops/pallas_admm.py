@@ -106,9 +106,19 @@ def _rsoc_lanes(blk, eps=1e-12):
 
 
 def _project_lanes(v, lb, ub, cones, sh):
-    """Box + cone projection on (nc, B) tiles (cone rows on sublanes)."""
-    out = jnp.clip(v, lb, ub)
+    """Box + cone projection on (nc, B) tiles (cone rows on sublanes).
+
+    Assembled by concatenating static row segments rather than
+    ``.at[].set`` — in-kernel scatter does not lower on TPU (and the
+    update carried a stray empty index constant at trace time); cone
+    offsets are static and non-overlapping, so concatenation is exact.
+    """
+    box = jnp.clip(v, lb, ub)
+    segs = []
+    pos = 0
     for off, dim, kind in cones:
+        if off > pos:
+            segs.append(box[pos:off])
         fn = _soc_lanes if kind == "soc" else _rsoc_lanes
         blk = v[off : off + dim]
         if sh is not None:
@@ -116,8 +126,11 @@ def _project_lanes(v, lb, ub, cones, sh):
             blk = fn(blk + s) - s
         else:
             blk = fn(blk)
-        out = out.at[off : off + dim].set(blk)
-    return out
+        segs.append(blk)
+        pos = off + dim
+    if pos < v.shape[0]:
+        segs.append(box[pos:])
+    return segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=0)
 
 
 def _admm_iter_kernel(nu, nx, nc, N, cones, alpha, sigma, has_shift,
@@ -280,6 +293,43 @@ def _admm_iter_kernel(nu, nx, nc, N, cones, alpha, sigma, has_shift,
             res_ref[:] = acc_scr[:]
 
 
+# VMEM sizing for the fused iteration.  The (K, d) spill is modeled
+# explicitly, so the budget is sized against the 48 MB scoped limit
+# (_compiler_params) rather than _pick_chunk's conservative 12 MB
+# default meant to absorb unmodeled temporaries.
+_BUDGET = 36 << 20
+
+
+def _vmem_words(N, nx, nu, nc, has_shift, storage_itemsize,
+                compute_itemsize):
+    """(streamed words/lane, scratch+temp words/lane) in compute-word
+    units; streamed stage tensors may be stored narrower."""
+    nz = nx + nu
+    sw = storage_itemsize / compute_itemsize
+    words = (
+        sw * (nx * nx + nx * nu + nx + nz * nz + nz + nc * nz)  # A..D
+        + 3 * nc + (nc if has_shift else 0)               # lb ub mask shift
+        + nz + 2 * nc                                     # w z y
+        + nz + 2 * nc                                     # outputs
+    )
+    temp = (
+        N * (nu * nx + nu)                # K, d spill
+        + 3 * nx * nx + 3 * nx + 4       # P, p, x, acc (+ slack)
+        + 20 * nz * nz                    # live temporaries
+    )
+    return words, temp
+
+
+def fits_vmem(N, nx, nu, nc, has_shift=False, storage_dtype=None,
+              compute_dtype=jnp.float32) -> bool:
+    """True when the fused iteration fits VMEM at the 128-lane floor —
+    the solve_fused(single_kernel="auto") selection predicate."""
+    c_item = jnp.dtype(compute_dtype).itemsize
+    s_item = jnp.dtype(storage_dtype or compute_dtype).itemsize
+    words, temp = _vmem_words(N, nx, nu, nc, has_shift, s_item, c_item)
+    return (2 * words + temp) * 128 * c_item <= _BUDGET
+
+
 def admm_iter_lanes(A, B, c, Hs, h, D, lb, ub, mask, shift, w, z, y, rho,
                     PN, pN, x0, *, nu, cones, alpha, sigma,
                     interpret=False):
@@ -312,29 +362,17 @@ def admm_iter_lanes(A, B, c, Hs, h, D, lb, ub, mask, shift, w, z, y, rho,
     has_shift = shift is not None
 
     # Streamed words/lane (double-buffered by the pipeline) and live
-    # scratch: the (K, d) spill dominates and scales with N.  Stage
-    # tensors (A..D) may be stored narrower than the compute dtype
-    # (upcast at load in-kernel); account for them at their storage
-    # width in compute-word units.
-    sw = jnp.dtype(A.dtype).itemsize / jnp.dtype(dt).itemsize
-    words = (
-        sw * (nx * nx + nx * nu + nx + nz * nz + nz + nc * nz)  # A..D
-        + 3 * nc + (nc if has_shift else 0)               # lb ub mask shift
-        + nz + 2 * nc                                     # w z y
-        + nz + 2 * nc                                     # outputs
+    # scratch: the (K, d) spill dominates and scales with N; stage
+    # tensors may be stored narrower (see _vmem_words).  Sizing against
+    # _BUDGET instead of the 12 MB default keeps 512 lanes (measured:
+    # 256 -> 512 lanes is ~2x throughput at quadrotor N=64); the chunk
+    # still degrades for long N / big nz.
+    words, temp = _vmem_words(
+        N, nx, nu, nc, has_shift,
+        jnp.dtype(A.dtype).itemsize, jnp.dtype(dt).itemsize,
     )
-    temp = (
-        N * (nu * nx + nu)                # K, d spill
-        + 3 * nx * nx + 3 * nx + 4       # P, p, x, acc (+ slack)
-        + 20 * nz * nz                    # live temporaries
-    )
-    # The spill is modeled explicitly above, so the conservative 12 MB
-    # default budget (meant to absorb unmodeled temporaries) would
-    # needlessly halve the lane chunk; size against the 48 MB scoped
-    # limit instead (measured: 256 -> 512 lanes is ~2x throughput at
-    # quadrotor N=64; chunk still degrades for long N / big nz).
     chunk = _pick_chunk(Bt, words, temp, jnp.dtype(dt).itemsize,
-                        budget=36 << 20)
+                        budget=_BUDGET)
     n_chunks = Bt // chunk
 
     def both(*dims):

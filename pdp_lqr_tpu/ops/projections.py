@@ -47,6 +47,16 @@ def normalize_cones(cones: Sequence[ConeSpec]) -> Tuple[Tuple[int, int, str], ..
         if kind == "rsoc" and dim < 2:
             raise ValueError("rsoc cone needs dim >= 2 (p and q rows)")
         out.append((int(off), int(dim), kind))
+    # Canonical row order, and overlapping blocks rejected: two cones
+    # sharing rows would project against each other (and the fused
+    # kernel assembles the projection from disjoint row segments).
+    out.sort(key=lambda s: s[0])
+    for (o1, d1, _), (o2, _, _) in zip(out, out[1:]):
+        if o1 + d1 > o2:
+            raise ValueError(
+                f"overlapping cone blocks at rows {o1}..{o1 + d1 - 1} "
+                f"and {o2}.."
+            )
     return tuple(out)
 
 

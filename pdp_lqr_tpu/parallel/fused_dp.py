@@ -47,7 +47,7 @@ def solve(mesh: Mesh, problem: LQRProblem, it: ADMMIterates, x0,
 
 def solve_fused_dp(mesh: Mesh, problem: LQRProblem, x0, cones=(),
                    settings=None, state=None, soc_shift=None, *,
-                   interpret: bool = False, single_kernel: bool = False,
+                   interpret: bool = False, single_kernel="auto",
                    storage_dtype=None):
     """FULL conic ADMM loop (solvers/admm.solve_fused) under shard_map,
     batch axis sharded over every mesh device — zero collectives.

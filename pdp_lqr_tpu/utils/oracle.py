@@ -199,12 +199,26 @@ def solve_constrained_qp(problem, x0, cones=(), tol=1e-10, maxiter=3000,
                 Mk = Dk @ Wm[k]
 
                 if kind == "soc":
+                    # Smooth squared form t^2 - ||v||^2 >= 0 with the
+                    # linear half-space t >= 0 (equivalent feasible
+                    # set): t - ||v|| is nondifferentiable at the cone
+                    # vertex, exactly where grazing solutions land
+                    # (e.g. rocket touchdown at the glideslope apex),
+                    # and trust-constr stalls on it.
                     def cone_fun(U, Mk=Mk, bk=bk):
                         v = Mk @ U + bk
-                        return v[0] - np.linalg.norm(v[1:])
+                        return v[0] * v[0] - v[1:] @ v[1:]
+
+                    def cone_jac(U, Mk=Mk, bk=bk):
+                        v = Mk @ U + bk
+                        g = np.concatenate(([2.0 * v[0]], -2.0 * v[1:]))
+                        return (g @ Mk)[None, :]
 
                     constraints.append(sopt.NonlinearConstraint(
-                        cone_fun, 0.0, np.inf
+                        cone_fun, 0.0, np.inf, jac=cone_jac
+                    ))
+                    constraints.append(sopt.LinearConstraint(
+                        Mk[0][None, :], -bk[0], np.inf
                     ))
                 else:  # rsoc: 2 p q >= ||x||^2, p >= 0, q >= 0
                     def rsoc_fun(U, Mk=Mk, bk=bk):

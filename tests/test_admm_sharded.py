@@ -41,7 +41,8 @@ def test_sharded_admm_matches_fused(time_axis):
     st = _settings()
     ws_s, state_s, info_s = admm_sharded.solve(
         mesh, bp, x0, (), st, interpret=True)
-    ws_f, state_f, info_f = admm.solve_fused(bp, x0, (), st, interpret=True)
+    ws_f, state_f, info_f = admm.solve_fused(bp, x0, (), st, interpret=True,
+                 single_kernel=False)
     np.testing.assert_allclose(
         np.asarray(ws_s), np.asarray(ws_f), atol=2e-4)
     # Per-instance adaptive rho follows the same trajectory.
@@ -64,7 +65,7 @@ def test_sharded_admm_soc_cone():
     ws_s, _, info_s = admm_sharded.solve(
         mesh, bp, x0, cones, st, interpret=True)
     ws_f, _, info_f = admm.solve_fused(
-        bp, x0, cones, st, interpret=True)
+        bp, x0, cones, st, interpret=True, single_kernel=False)
     np.testing.assert_allclose(
         np.asarray(ws_s), np.asarray(ws_f), atol=2e-4)
 
@@ -82,6 +83,7 @@ def test_sharded_admm_warm_start():
     # Warm continuation matches the single-device fused loop from the
     # same state (plumbing parity for w/z/y/per-instance rho).
     ws2_f, _, _ = admm.solve_fused(
-        bp, x0, (), st2, state=state, interpret=True)
+        bp, x0, (), st2, state=state, interpret=True,
+        single_kernel=False)
     np.testing.assert_allclose(
         np.asarray(ws2), np.asarray(ws2_f), atol=2e-4)

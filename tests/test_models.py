@@ -85,3 +85,55 @@ def test_centroidal_unconstrained_backends_agree():
     ws_a, _ = assoc.solve(unc, it, x0, SIGMA)
     np.testing.assert_allclose(np.asarray(ws_d), np.asarray(ws_s), atol=1e-7)
     np.testing.assert_allclose(np.asarray(ws_a), np.asarray(ws_s), atol=1e-7)
+
+
+def test_rocket_landing_oracle_and_cones():
+    """Rocket soft-landing (two SOC blocks + thrust box): ADMM is
+    feasible, certified stationary (exact OSQP residuals ~0), and its
+    objective dominates the scipy witness.
+
+    Trajectory-level oracle parity is checked on the quadrotor /
+    centroidal cone tests; this instance grazes the glideslope vertex
+    and has near-flat thrust-allocation directions, where trust-constr
+    stops short of the optimum (it lands ~0.4% ABOVE the ADMM
+    objective) — so the witness provides a one-sided bound here.
+    """
+    from pdp_lqr_tpu.models import rocket, rocket_x0
+    from pdp_lqr_tpu.utils import oracle, quality
+
+    problem, cones = rocket(N=10, dt=1.2, dtype=jnp.float64)
+    cones = tuple(cones)
+    x0 = rocket_x0()
+    settings = admm.ADMMSettings(
+        max_iter=400, rho=1.0, rho_update_interval=10,
+        eps_abs=1e-5, eps_rel=1e-5,
+    )
+    ws, _, info = admm.solve(problem, x0, cones, settings)
+    # The loop runs all 400 iterations (no early exit by design);
+    # final residuals are ~1e-5 absolute on this scale-~90 problem.
+    assert bool(info.converged)
+    q = quality.assess(problem, ws, cones)
+    assert float(q.dyn_residual) < 1e-8
+    assert float(q.box_violation) < 1e-5
+    assert float(q.cone_violation) < 5e-5
+    ws_ref = oracle.solve_constrained_qp(problem, x0, cones)
+    q_ref = quality.assess(problem, jnp.asarray(ws_ref), cones)
+    # Feasible + stationarity-certified + at least as good as the
+    # independent witness => optimal (the witness cannot beat f*).
+    margin = 1e-6 * abs(float(q_ref.objective))
+    assert float(q.objective) <= float(q_ref.objective) + margin
+
+    vals = np.asarray(ws)
+    us = vals[:-1, :3]
+    xs = vals[:, 3:]
+    tan_gim = np.tan(np.deg2rad(20.0))
+    tan_gs = np.tan(np.deg2rad(45.0))
+    assert np.all(
+        np.linalg.norm(us[:, :2], axis=-1) <= tan_gim * us[:, 2] + 1e-3
+    )
+    assert np.all(
+        np.linalg.norm(xs[:, :2], axis=-1) <= tan_gs * xs[:, 2] + 1e-2
+    )
+    assert np.all(us[:, 2] <= 80.0 + 1e-5)
+    # It descends toward the pad.
+    assert xs[-1, 2] < 0.2 * xs[0, 2]

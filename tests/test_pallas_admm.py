@@ -106,6 +106,56 @@ def test_single_kernel_matches_two_kernel_cones():
     )
 
 
+def test_early_exit_while_loop():
+    """early_exit: identical math (eps=0 runs the full trip count and
+    matches the scan bit-for-bit); with real tolerances it stops when
+    every instance converges."""
+    problem, _ = quadrotor(N=8, constrained=True)
+    B = 2
+    rng = np.random.default_rng(11)
+    bp = _batched(problem, B)
+    bp = dataclasses.replace(
+        bp, c=bp.c + jnp.asarray(rng.normal(size=bp.c.shape) * 0.004)
+    )
+    x0s = jnp.asarray(rng.normal(size=(B, 12)) * 0.05)
+
+    st0 = _settings(max_iter=25, eps_abs=0.0, eps_rel=0.0)
+    ws_scan, _, _ = admm.solve_fused(bp, x0s, (), st0, interpret=True)
+    ws_while, _, info_w = admm.solve_fused(
+        bp, x0s, (), dataclasses.replace(st0, early_exit=True),
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ws_while), np.asarray(ws_scan))
+    assert int(np.asarray(info_w.iterations)[0]) == 25
+
+    st1 = _settings(max_iter=200, eps_abs=1e-4, eps_rel=1e-4,
+                    early_exit=True)
+    ws_e, _, info_e = admm.solve_fused(bp, x0s, (), st1, interpret=True)
+    its = np.asarray(info_e.iterations)
+    assert np.all(np.asarray(info_e.converged))
+    assert int(its[0]) < 200
+    # The early-exit iterate is a converged iterate of the same
+    # sequence; the full run keeps polishing (adaptive rho), so they
+    # agree to tolerance scale, not machine precision.
+    ws_full, _, _ = admm.solve_fused(
+        bp, x0s, (), dataclasses.replace(st1, early_exit=False),
+        interpret=True,
+    )
+    assert float(jnp.max(jnp.abs(ws_e - ws_full))) < 3e-2
+
+
+def test_auto_single_kernel_selection():
+    """"auto" picks the fused iteration iff the gain spill fits VMEM."""
+    from pdp_lqr_tpu.ops import pallas_admm
+
+    # Quadrotor short horizon: fits at the 128-lane floor.
+    assert pallas_admm.fits_vmem(64, 12, 4, 16)
+    # Long horizon: the (K, d) spill alone exceeds the budget.
+    assert not pallas_admm.fits_vmem(4096, 12, 4, 16)
+    # Large-state model at N=200: falls back to the two-kernel path.
+    assert not pallas_admm.fits_vmem(200, 40, 10, 50)
+
+
 def test_single_kernel_bf16_storage():
     """bf16 stage streaming: full-precision iterates, data-rounding-
     bounded solution error, compute-dtype outputs."""
@@ -133,11 +183,13 @@ def test_single_kernel_bf16_storage():
     scale = max(1.0, float(jnp.max(jnp.abs(ws_f))))
     err = float(jnp.max(jnp.abs(ws_b - ws_f))) / scale
     assert err < 3e-2, err
-    # storage_dtype is a single-kernel feature.
+    # storage_dtype is a single-kernel feature (explicit two-kernel
+    # selection rejects it; "auto" resolves to the single kernel here).
     import pytest
 
     with pytest.raises(ValueError):
         admm.solve_fused(bp, x0s, (), st, interpret=True,
+                         single_kernel=False,
                          storage_dtype=jnp.bfloat16)
 
 
