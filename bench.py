@@ -142,6 +142,22 @@ def run_check(on_cpu: bool) -> int:
     if not np.isfinite(errc) or errc > 1e-3:
         failures.append(f"conic_admm/single_vs_two_kernel: {errc:.3e}")
 
+    # Cached-factor vector sweep vs always-refactor ON DEVICE (the
+    # backward_vectors_lanes hardware lowering).
+    import dataclasses as _dc
+
+    t0 = time.perf_counter()
+    wcf = np.asarray(jax.jit(lambda p, x: admm_mod.solve_fused(
+        p, x, tuple(cones), _dc.replace(cst, cached_factors=True),
+        soc_shift=shift, interpret=on_cpu)[0])(cbp, cx0))
+    errf = float(np.abs(wcf - w2k).max() / max(1.0, np.abs(w2k).max()))
+    results["conic_admm/cached_factors"] = errf
+    print(f"# conic_admm/cached_factors: rel_err={errf:.3e} "
+          f"(compile+run {time.perf_counter() - t0:.0f}s)",
+          file=sys.stderr, flush=True)
+    if not np.isfinite(errf) or errf > 1e-3:
+        failures.append(f"conic_admm/cached_factors: {errf:.3e}")
+
     worst = max(results.values())
     print(json.dumps({
         "metric": "on-device cross-backend parity (max rel err, f32, "
@@ -176,7 +192,7 @@ def run_admm_bench(args, on_cpu: bool, backend: str) -> int:
     x0s = jnp.full((B, problem.nx), 0.03, jnp.float32)
     settings = admm.ADMMSettings(
         max_iter=K, rho_update_interval=25, rho=0.1,
-        eps_abs=1e-4, eps_rel=1e-4,
+        eps_abs=1e-4, eps_rel=1e-4, cached_factors=args.cached,
     )
     storage_dt = jnp.bfloat16 if (args.bf16 and args.single_kernel) \
         else None
@@ -195,6 +211,8 @@ def run_admm_bench(args, on_cpu: bool, backend: str) -> int:
     label = "single-kernel" if args.single_kernel else "two-kernel"
     if storage_dt is not None:
         label += "+bf16"
+    if args.cached:
+        label += "+cached-factors"
     print(json.dumps({
         "metric": f"conic ADMM solves/s/chip ({K} iters/solve, N={N}, "
                   f"B={B}, {label}, {backend})",
@@ -231,6 +249,10 @@ def main():
                     help="--admm only: one pallas_call per iteration "
                          "(ops/pallas_admm) instead of the "
                          "backward/forward kernel pair")
+    ap.add_argument("--cached", action="store_true",
+                    help="--admm only: cached-factor vector sweeps "
+                         "between rho changes (two-kernel path; the "
+                         "reference's without_factorization fast path)")
     ap.add_argument("--bf16", action="store_true",
                     help="pallas only: stream stage data in bfloat16 "
                          "(f32 compute) — halves HBM footprint for "

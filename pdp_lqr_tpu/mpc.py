@@ -32,10 +32,18 @@ def shift_state(state: admm.ADMMState, problem: LQRProblem) -> admm.ADMMState:
 
     The last stage is duplicated (steady-state extrapolation); rho is
     kept so cached-cadence refactors stay valid across replans.
+
+    Works on per-instance states (w (N+1, nz)) and batch-leading
+    batched states (w (B, N+1, nz)): the time axis is always -2.
     """
-    shift = lambda a: jnp.concatenate([a[1:], a[-1:]], axis=0)
+    shift = lambda a: jnp.concatenate(
+        [a[..., 1:, :], a[..., -1:, :]], axis=-2)
     return admm.ADMMState(
-        w=shift(state.w), z=shift(state.z), y=shift(state.y), rho=state.rho
+        w=shift(state.w), z=shift(state.z), y=shift(state.y),
+        rho=state.rho,
+        # Factors depend only on (problem, rho) — both unchanged by the
+        # shift — so warm replans keep skipping refactorization.
+        factors=state.factors,
     )
 
 

@@ -130,12 +130,24 @@ def _chol_solve_lanes(L, b_rows):
 
 # ------------------------------------------------------------ backward kernel
 
-def _backward_kernel(nu, nx, nc,
+def _backward_kernel(nu, nx, nc, export, T,
                      A_ref, B_ref, c_ref, H_ref, h_ref, D_ref, rho_ref,
                      rg_ref, PN_ref, pN_ref,
-                     K_ref, d_ref, M_ref, v_ref, P_scr, p_scr):
-    # Grid is (lane_chunk, time); time is the minor (fast) dimension so
-    # each chunk runs its full backward sweep before the next chunk.
+                     K_ref, d_ref, M_ref, v_ref, *rest):
+    # Grid is (lane_chunk, time-block); time is the minor (fast)
+    # dimension so each chunk runs its full backward sweep before the
+    # next chunk.  Each grid step covers T consecutive stages (one
+    # streamed block), iterated in reverse in-register — fewer, larger
+    # DMAs amortize the per-grid-step pipeline overhead that dominates
+    # at one stage per step (see docs/KERNEL_DESIGN.md roofline).
+    # ``export`` additionally writes the per-stage factor pair
+    # (P_{k+1}, chol(Huu)) consumed by the cached-factor vector sweep
+    # (backward_vectors_lanes) — the reference's
+    # step_without_factorization split (lqr_kernel.hpp:93-101,149-178).
+    if export:
+        P_ref, L_ref, P_scr, p_scr = rest
+    else:
+        P_scr, p_scr = rest
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -147,62 +159,76 @@ def _backward_kernel(nu, nx, nc,
     # compute/carry dtype — upcast at load so HBM streaming is halved
     # while all arithmetic stays in the carry precision.
     cdt = P_scr.dtype
-    A = A_ref[0].astype(cdt)
-    Bm = B_ref[0].astype(cdt)
-    c = c_ref[0].astype(cdt)
-    H = H_ref[0].astype(cdt)
-    h = h_ref[0].astype(cdt)
-
-    # Penalty fold (lqr_kernel.hpp:106-112), in-register:
-    #   H += sum_c rho_c D_c D_c^T ;  h -= sum_c (rho_c g_c) D_c
-    if nc > 0:
-        D = D_ref[0].astype(cdt)
-        rho = rho_ref[0].astype(cdt)
-        rg = rg_ref[0].astype(cdt)
-        for ci in range(nc):
-            w = rho[ci] * D[ci]              # (nz, B)
-            rows = []
-            for i in range(H.shape[0]):
-                rows.append(H[i] + D[ci, i][None, :] * w)
-            H = jnp.stack(rows, axis=0)
-            h = h - rg[ci][None, :] * D[ci]
-
-    R = H[:nu, :nu]
-    S = H[:nu, nu:]
-    Q = H[nu:, nu:]
-    r = h[:nu]
-    q = h[nu:]
-
     P = P_scr[:]
     p = p_scr[:]
 
-    PA = _mm(P, A)                    # (nx, nx, B)
-    PB = _mm(P, Bm)                   # (nx, nu, B)
-    Pcp = _mv(P, c) + p               # (nx, B)
+    for i in range(T - 1, -1, -1):
+        A = A_ref[i].astype(cdt)
+        Bm = B_ref[i].astype(cdt)
+        c = c_ref[i].astype(cdt)
+        H = H_ref[i].astype(cdt)
+        h = h_ref[i].astype(cdt)
 
-    G = S + _mtm(Bm, PA)              # (nu, nx, B)
-    Huu = R + _mtm(Bm, PB)            # (nu, nu, B)
-    rbar = r + _mtv(Bm, Pcp)          # (nu, B)
+        # Penalty fold (lqr_kernel.hpp:106-112), in-register:
+        #   H += sum_c rho_c D_c D_c^T ;  h -= sum_c (rho_c g_c) D_c
+        if nc > 0:
+            D = D_ref[i].astype(cdt)
+            rho = rho_ref[i].astype(cdt)
+            rg = rg_ref[i].astype(cdt)
+            for ci in range(nc):
+                w = rho[ci] * D[ci]              # (nz, B)
+                rows = []
+                for r_i in range(H.shape[0]):
+                    rows.append(H[r_i] + D[ci, r_i][None, :] * w)
+                H = jnp.stack(rows, axis=0)
+                h = h - rg[ci][None, :] * D[ci]
 
-    L = _chol_lanes(Huu)
-    # K = -Huu^{-1} G column-by-column; d = -Huu^{-1} rbar.
-    Kcols = []
-    for jcol in range(nx):
-        x = _chol_solve_lanes(L, [G[i, jcol] for i in range(nu)])
-        Kcols.append(jnp.stack(x, axis=0))      # (nu, B)
-    K = -jnp.stack(Kcols, axis=1)               # (nu, nx, B)
-    d = -jnp.stack(_chol_solve_lanes(L, [rbar[i] for i in range(nu)]), axis=0)
+        R = H[:nu, :nu]
+        S = H[:nu, nu:]
+        Q = H[nu:, nu:]
+        r = h[:nu]
+        q = h[nu:]
 
-    Pn = Q + _mtm(A, PA) + _mtm(G, K)
-    Pn = 0.5 * (Pn + jnp.swapaxes(Pn, 0, 1))
-    pn = q + _mtv(A, Pcp) + _mtv(K, rbar)
+        PA = _mm(P, A)                    # (nx, nx, B)
+        PB = _mm(P, Bm)                   # (nx, nu, B)
+        Pcp = _mv(P, c) + p               # (nx, B)
 
-    K_ref[0] = K
-    d_ref[0] = d
-    M_ref[0] = A + _mm(Bm, K)
-    v_ref[0] = _mv(Bm, d) + c
-    P_scr[:] = Pn
-    p_scr[:] = pn
+        G = S + _mtm(Bm, PA)              # (nu, nx, B)
+        Huu = R + _mtm(Bm, PB)            # (nu, nu, B)
+        rbar = r + _mtv(Bm, Pcp)          # (nu, B)
+
+        L = _chol_lanes(Huu)
+        # K = -Huu^{-1} G column-by-column; d = -Huu^{-1} rbar.
+        Kcols = []
+        for jcol in range(nx):
+            x = _chol_solve_lanes(L, [G[gi, jcol] for gi in range(nu)])
+            Kcols.append(jnp.stack(x, axis=0))      # (nu, B)
+        K = -jnp.stack(Kcols, axis=1)               # (nu, nx, B)
+        d = -jnp.stack(
+            _chol_solve_lanes(L, [rbar[ri] for ri in range(nu)]), axis=0)
+
+        Pn = Q + _mtm(A, PA) + _mtm(G, K)
+        Pn = 0.5 * (Pn + jnp.swapaxes(Pn, 0, 1))
+        pn = q + _mtv(A, Pcp) + _mtv(K, rbar)
+
+        K_ref[i] = K
+        d_ref[i] = d
+        M_ref[i] = A + _mm(Bm, K)
+        v_ref[i] = _mv(Bm, d) + c
+        if export:
+            P_ref[i] = P
+            L_ref[i] = jnp.stack([
+                jnp.stack([
+                    L[li][lj] if lj <= li else jnp.zeros_like(P[0, 0])
+                    for lj in range(nu)
+                ], axis=0)
+                for li in range(nu)
+            ], axis=0)
+        P = Pn
+        p = pn
+
+    P_scr[:] = P
+    p_scr[:] = p
 
 
 # -------------------------------------------------- PDP segment kernel
@@ -402,6 +428,26 @@ def backward_pdp_lanes(A, B, c, H, h, D, rho, rg, Pi, pi, Fi, Ci, fi, *,
 
 LANE_CHUNK = 512        # max lanes per grid step
 VMEM_BUDGET = 12 << 20  # streamed blocks + live temporaries per chunk
+STAGE_BLOCK_BUDGET = 36 << 20  # T-stage streamed block budget (< 48 MB
+#   scoped limit, slack for unmodeled live temporaries)
+
+
+def _pick_stages(N: int, words_per_stage: int, temp_words: int,
+                 chunk: int, dtype_bytes: int) -> int:
+    """Stages per grid step (T): largest T dividing N whose
+    double-buffered T-stage streamed block fits STAGE_BLOCK_BUDGET.
+
+    At T=1 the sweep kernels sit ~4x above BOTH roofline bounds
+    (docs/KERNEL_DESIGN.md): the per-grid-step pipeline overhead
+    (semaphores, window swaps, scalar setup) dominates the ~us-scale
+    per-stage compute.  T consecutive stages per streamed block cut the
+    step count T-fold at unchanged math.
+    """
+    for T in (8, 4, 2):
+        est = (2 * T * words_per_stage + temp_words) * chunk * dtype_bytes
+        if N % T == 0 and est <= STAGE_BLOCK_BUDGET:
+            return T
+    return 1
 
 
 def _pick_chunk(Bt: int, words_per_lane: int, temp_words: int,
@@ -446,7 +492,8 @@ def _compiler_params(interpret: bool):
     return pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
 
 
-def backward_lanes(A, B, c, H, h, D, rho, rg, PN, pN, *, interpret=False):
+def backward_lanes(A, B, c, H, h, D, rho, rg, PN, pN, *, interpret=False,
+                   export_factors=False):
     """Fused backward sweep; all arrays batch-last (see module doc).
 
     A (N,nx,nx,B), B (N,nx,nu,B), c (N,nx,B), H (N,nz,nz,B),
@@ -459,7 +506,11 @@ def backward_lanes(A, B, c, H, h, D, rho, rg, PN, pN, *, interpret=False):
     the start of each chunk's backward sweep, and per-stage VMEM stays
     bounded regardless of B.
 
-    Returns (K, d, M, v): gains and closed-loop maps per stage.
+    Returns (K, d, M, v): gains and closed-loop maps per stage; with
+    ``export_factors`` additionally (P, L) — the per-stage cost-to-go
+    P_{k+1} and chol(Huu) consumed by backward_vectors_lanes while rho
+    is unchanged (the reference's with/without-factorization split,
+    lqr_kernel.hpp:93-101).
     """
     N, nx, _, Bt = A.shape
     nu = B.shape[2]
@@ -479,13 +530,16 @@ def backward_lanes(A, B, c, H, h, D, rho, rg, PN, pN, *, interpret=False):
 
     ncp = max(nc, 1)
     words = (nx * nx + nx * nu + nx + nz * nz + nz + ncp * nz + 2 * ncp
-             + nu * nx + nu + nx * nx + nx + 2 * (nx * nx + nx))
+             + nu * nx + nu + nx * nx + nx + 2 * (nx * nx + nx)
+             + (nx * nx + nu * nu if export_factors else 0))
     chunk = _pick_chunk(Bt, words, 12 * nz * nz, jnp.dtype(dt).itemsize)
     n_chunks = Bt // chunk
+    T = _pick_stages(N, words, 12 * nz * nz, chunk,
+                     jnp.dtype(dt).itemsize)
 
     stage = lambda *dims: pl.BlockSpec(
-        (1,) + dims[:-1] + (chunk,),
-        lambda b, t: (N - 1 - t,) + (0,) * (len(dims) - 1) + (b,),
+        (T,) + dims[:-1] + (chunk,),
+        lambda b, t: (N // T - 1 - t,) + (0,) * (len(dims) - 1) + (b,),
         memory_space=pltpu.VMEM,
     )
     whole = lambda *dims: pl.BlockSpec(
@@ -494,16 +548,27 @@ def backward_lanes(A, B, c, H, h, D, rho, rg, PN, pN, *, interpret=False):
         memory_space=pltpu.VMEM,
     )
 
-    kernel = functools.partial(_backward_kernel, nu, nx, nc)
+    kernel = functools.partial(_backward_kernel, nu, nx, nc,
+                               export_factors, T)
     out_shape = (
         jax.ShapeDtypeStruct((N, nu, nx, Bt), dt),   # K
         jax.ShapeDtypeStruct((N, nu, Bt), dt),       # d
         jax.ShapeDtypeStruct((N, nx, nx, Bt), dt),   # M = A + B K
         jax.ShapeDtypeStruct((N, nx, Bt), dt),       # v = B d + c
     )
+    out_specs = (
+        stage(nu, nx, Bt), stage(nu, Bt),
+        stage(nx, nx, Bt), stage(nx, Bt),
+    )
+    if export_factors:
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((N, nx, nx, Bt), dt),   # P_{k+1}
+            jax.ShapeDtypeStruct((N, nu, nu, Bt), dt),   # chol(Huu)
+        )
+        out_specs = out_specs + (stage(nx, nx, Bt), stage(nu, nu, Bt))
     return pl.pallas_call(
         kernel,
-        grid=(n_chunks, N),
+        grid=(n_chunks, N // T),
         in_specs=[
             stage(nx, nx, Bt), stage(nx, nu, Bt), stage(nx, Bt),
             stage(nz, nz, Bt), stage(nz, Bt),
@@ -511,10 +576,7 @@ def backward_lanes(A, B, c, H, h, D, rho, rg, PN, pN, *, interpret=False):
             stage(max(nc, 1), Bt),
             whole(nx, nx, Bt), whole(nx, Bt),
         ],
-        out_specs=(
-            stage(nu, nx, Bt), stage(nu, Bt),
-            stage(nx, nx, Bt), stage(nx, Bt),
-        ),
+        out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((nx, nx, chunk), dt),
@@ -525,9 +587,121 @@ def backward_lanes(A, B, c, H, h, D, rho, rg, PN, pN, *, interpret=False):
     )(A, B, c, H, h, D, rho, rg, PN, pN)
 
 
+# ------------------------------------------- cached-factor vector sweep
+
+def _backward_vec_kernel(nu, nx, T,
+                         A_ref, B_ref, c_ref, hf_ref, P_ref, K_ref,
+                         L_ref, pN_ref,
+                         d_ref, v_ref, p_scr):
+    """Vector-only backward sweep on cached factors.
+
+    The reference's ``backward_without_factorization``
+    (lqr_kernel.hpp:149-178, lqr_solver.hpp:65-70): while rho/sigma are
+    unchanged, every matrix quantity of the Riccati recursion — the
+    penalty-folded Hessian, P_{k+1}, chol(Huu), K — is
+    iterate-independent; only the affine terms move.  This kernel redoes
+    exactly that vector work per stage from the factors exported by
+    backward_lanes(export_factors=True):
+
+      Pcp  = P_{k+1} c + p
+      rbar = hf[:nu] + B^T Pcp
+      d    = -(L L^T)^{-1} rbar
+      p    = hf[nu:] + A^T Pcp + K^T rbar      (carry)
+      v    = B d + c
+
+    ~14x fewer FLOPs and ~3x less HBM streaming than the full sweep
+    (the penalty fold, all matrix products, and the Cholesky vanish).
+    ``hf`` is the fully iterate-folded linear cost
+    h - sigma w - D^T (rho g), computed in XLA (it already materializes
+    the rho g product for the full path).
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        p_scr[:] = pN_ref[:]
+
+    cdt = p_scr.dtype
+    p = p_scr[:]
+    for i in range(T - 1, -1, -1):
+        A = A_ref[i].astype(cdt)
+        Bm = B_ref[i].astype(cdt)
+        c = c_ref[i].astype(cdt)
+        hf = hf_ref[i].astype(cdt)
+        P = P_ref[i]
+        K = K_ref[i]
+        Lt = L_ref[i]
+        L = [[Lt[li, lj] if lj <= li else None for lj in range(nu)]
+             for li in range(nu)]
+
+        Pcp = _mv(P, c) + p
+        rbar = hf[:nu] + _mtv(Bm, Pcp)
+        d = -jnp.stack(
+            _chol_solve_lanes(L, [rbar[ri] for ri in range(nu)]), axis=0
+        )
+        d_ref[i] = d
+        v_ref[i] = _mv(Bm, d) + c
+        p = hf[nu:] + _mtv(A, Pcp) + _mtv(K, rbar)
+    p_scr[:] = p
+
+
+def backward_vectors_lanes(A, B, c, hf, P, K, L, pN, *, interpret=False):
+    """Cached-factor vector sweep; returns (d, v) for forward_lanes.
+
+    A (N,nx,nx,B), B (N,nx,nu,B), c (N,nx,B), hf (N,nz,B) the fully
+    iterate-folded linear cost, (P, K, L) from
+    backward_lanes(export_factors=True), pN (nx,B) the iterate-folded
+    terminal linear cost.  Valid while rho (and the problem matrices)
+    are unchanged since the factors were exported.
+    """
+    N, nx, _, Bt = A.shape
+    nu = B.shape[2]
+    nz = nx + nu
+    dt = P.dtype
+
+    words = (nx * nx + nx * nu + nx + nz          # A B c hf
+             + nx * nx + nu * nx + nu * nu + nx   # P K L pN
+             + nu + nx)                            # d v
+    chunk = _pick_chunk(Bt, words, 8 * nx * nx, jnp.dtype(dt).itemsize)
+    n_chunks = Bt // chunk
+    T = _pick_stages(N, words, 8 * nx * nx, chunk,
+                     jnp.dtype(dt).itemsize)
+
+    stage = lambda *dims: pl.BlockSpec(
+        (T,) + dims[:-1] + (chunk,),
+        lambda b, t: (N // T - 1 - t,) + (0,) * (len(dims) - 1) + (b,),
+        memory_space=pltpu.VMEM,
+    )
+    whole = lambda *dims: pl.BlockSpec(
+        dims[:-1] + (chunk,),
+        lambda b, t: (0,) * (len(dims) - 1) + (b,),
+        memory_space=pltpu.VMEM,
+    )
+
+    kernel = functools.partial(_backward_vec_kernel, nu, nx, T)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_chunks, N // T),
+        in_specs=[
+            stage(nx, nx, Bt), stage(nx, nu, Bt), stage(nx, Bt),
+            stage(nz, Bt),
+            stage(nx, nx, Bt), stage(nu, nx, Bt), stage(nu, nu, Bt),
+            whole(nx, Bt),
+        ],
+        out_specs=(stage(nu, Bt), stage(nx, Bt)),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, nu, Bt), dt),
+            jax.ShapeDtypeStruct((N, nx, Bt), dt),
+        ),
+        scratch_shapes=[pltpu.VMEM((nx, chunk), dt)],
+        compiler_params=_compiler_params(interpret),
+        interpret=interpret,
+    )(A, B, c, hf, P, K, L, pN)
+
+
 # ------------------------------------------------------------- forward kernel
 
-def _forward_kernel(nu, nx,
+def _forward_kernel(nu, nx, T,
                     M_ref, v_ref, K_ref, d_ref, x0_ref,
                     ws_ref, xN_ref, x_scr):
     t = pl.program_id(1)
@@ -538,16 +712,17 @@ def _forward_kernel(nu, nx,
         x_scr[:] = x0_ref[:]
 
     x = x_scr[:]
-    K = K_ref[0]
-    d = d_ref[0]
-    u = _mv(K, x) + d
-    ws_ref[0] = jnp.concatenate([u, x], axis=0)
-    x_next = _mv(M_ref[0], x) + v_ref[0]
-    x_scr[:] = x_next
+    for i in range(T):
+        K = K_ref[i]
+        d = d_ref[i]
+        u = _mv(K, x) + d
+        ws_ref[i] = jnp.concatenate([u, x], axis=0)
+        x = _mv(M_ref[i], x) + v_ref[i]
+    x_scr[:] = x
 
     @pl.when(t == n_total - 1)
     def _():
-        xN_ref[:] = x_next
+        xN_ref[:] = x
 
 
 def forward_lanes(M, v, K, d, x0, *, interpret=False):
@@ -560,9 +735,11 @@ def forward_lanes(M, v, K, d, x0, *, interpret=False):
     words = 2 * (nx * nx + nx) + nu * nx + nu + nz + nx
     chunk = _pick_chunk(Bt, words, 4 * nx * nx, jnp.dtype(dt).itemsize)
     n_chunks = Bt // chunk
+    T = _pick_stages(N, words, 4 * nx * nx, chunk,
+                     jnp.dtype(dt).itemsize)
 
     stage = lambda *dims: pl.BlockSpec(
-        (1,) + dims[:-1] + (chunk,),
+        (T,) + dims[:-1] + (chunk,),
         lambda b, t: (t,) + (0,) * (len(dims) - 1) + (b,),
         memory_space=pltpu.VMEM,
     )
@@ -572,10 +749,10 @@ def forward_lanes(M, v, K, d, x0, *, interpret=False):
         memory_space=pltpu.VMEM,
     )
 
-    kernel = functools.partial(_forward_kernel, nu, nx)
+    kernel = functools.partial(_forward_kernel, nu, nx, T)
     return pl.pallas_call(
         kernel,
-        grid=(n_chunks, N),
+        grid=(n_chunks, N // T),
         in_specs=[
             stage(nx, nx, Bt), stage(nx, Bt),
             stage(nu, nx, Bt), stage(nu, Bt),

@@ -57,6 +57,13 @@ class ADMMSettings:
     eps_abs: float = 1e-6
     eps_rel: float = 1e-6
     exact_dual: bool = True       # OSQP 3.4 dual residual vs cheap proxy
+    cached_factors: bool = False  # solve_fused two-kernel path: reuse
+    #   the per-stage (P, chol(Huu), K, M) factors across iterations
+    #   while rho is unchanged and run the vector-only backward sweep
+    #   (the reference's backward_without_factorization,
+    #   lqr_solver.hpp:65-70) — refactors automatically when any
+    #   instance's rho moves.  Costs ~(2 nx^2 + nu nx + nu^2) N B words
+    #   of HBM for the factor carry.
     early_exit: bool = False      # solve_fused: stop when EVERY batch
     #   instance converges (lax.while_loop instead of the fixed-trip
     #   scan).  Big win for warm-started serving batches; keep False
@@ -71,12 +78,22 @@ class ADMMSettings:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ADMMState:
-    """Warm-startable iterate state (the reference's ws/ys/zs vectors)."""
+    """Warm-startable iterate state (the reference's ws/ys/zs vectors).
+
+    ``factors`` (solve_fused with cached_factors only) carries the
+    per-stage (K, M, P, chol(Huu), rho-at-factor) tensors in the lanes
+    layout, so a warm-started solve skips even its FIRST
+    refactorization while rho and the problem data are unchanged —
+    the reference's steady-state MPC pattern (update_problem_data +
+    backward_without_factorization + forward across replans).  Opaque:
+    valid only for the same problem/batch it came from.
+    """
 
     w: jax.Array          # (N+1, nz) primal trajectory [u; x]
     z: jax.Array          # (N+1, nc) slack
     y: jax.Array          # (N+1, nc) dual
     rho: jax.Array        # () scalar penalty (scaled by the row mask)
+    factors: object = None
 
 
 @jax.tree_util.register_dataclass
@@ -425,10 +442,16 @@ def solve_fused(
     if single_kernel == "auto":
         from pdp_lqr_tpu.ops import pallas_admm as pa
 
-        single_kernel = pa.fits_vmem(
+        # cached_factors is implemented on the two-kernel path (the
+        # fused iteration would need a separate vector-only kernel
+        # variant; see ROADMAP).
+        single_kernel = (not settings.cached_factors) and pa.fits_vmem(
             N, nx, nu, nc, soc_shift is not None,
             storage_dtype, dt,
         )
+    if settings.cached_factors and single_kernel:
+        raise ValueError("cached_factors requires the two-kernel path "
+                         "(single_kernel=False)")
 
     # Everything below lives in the lanes layout — iterate vectors
     # included — so per-iteration work is the kernel pair plus compact
@@ -626,7 +649,7 @@ def solve_fused(
                              r_prim, r_dual, prim_scale, dual_scale)
 
     def iteration(carry, _):
-        w, z, y, rho, stats = carry          # lanes: w (N+1,nz,B), z/y (N+1,nc,B)
+        w, z, y, rho, stats, *fac = carry    # lanes: w (N+1,nz,B), z/y (N+1,nc,B)
         k_it, iter_conv, _, _, _ = stats
         rho_vec = rho[None, None, :] * mask
         inv_rho = mask / jnp.maximum(rho[None, None, :], 1e-30)
@@ -635,18 +658,57 @@ def solve_fused(
         h_t = (h_base - sigma * w) * uterm
         rg = rho_vec * g
 
-        # Terminal fold (unrolled over nc on (nx, nx, B) tiles).
-        PN = HN_l
+        # Terminal linear fold (vector part, every iteration).
         pN = h_t[-1, nu:]
         for ci in range(nc):
-            wrow = rho_vec[-1, ci] * DN_l[ci]          # (nx, B)
-            PN = PN + DN_l[ci][:, None, :] * wrow[None, :, :]
             pN = pN - rg[-1, ci][None, :] * DN_l[ci]
 
-        K, d, M, v = pr.backward_lanes(
-            A_l, B_l, c_l, H_l, h_t[:-1], Dst_l, rho_vec[:-1], rg[:-1],
-            PN, pN, interpret=interpret,
-        )
+        def _full(h_t, rg, rho_vec, pN):
+            # Terminal matrix fold (unrolled over nc on (nx,nx,B)
+            # tiles) — rho-dependent, skipped on cached iterations.
+            PN = HN_l
+            for ci in range(nc):
+                wrow = rho_vec[-1, ci] * DN_l[ci]      # (nx, B)
+                PN = PN + DN_l[ci][:, None, :] * wrow[None, :, :]
+            return pr.backward_lanes(
+                A_l, B_l, c_l, H_l, h_t[:-1], Dst_l, rho_vec[:-1],
+                rg[:-1], PN, pN, interpret=interpret,
+                export_factors=settings.cached_factors,
+            )
+
+        if settings.cached_factors:
+            # The reference's steady-state fast path
+            # (backward_without_factorization, lqr_solver.hpp:65-70):
+            # while rho is unchanged, reuse the exported per-stage
+            # factors and redo only the vector recursion.
+            # rho_f is the rho snapshot the factors were built at;
+            # fresh solves start it at the -1 sentinel (always
+            # refactors), warm starts with state.factors skip even the
+            # first refactorization when rho is unchanged.
+            K_f, M_f, P_f, L_f, rho_f = fac[0]
+            refactor = jnp.any(rho != rho_f)
+
+            def full_fn(op):
+                h_t, rg, rho = op
+                K, d, M, v, P, L = _full(
+                    h_t, rg, rho[None, None, :] * mask, pN)
+                return (K, M, P, L, rho), d, v
+
+            def vec_fn(op):
+                h_t, rg, _ = op
+                hf = (h_t - DTy_l(rg))[:-1]
+                d, v = pr.backward_vectors_lanes(
+                    A_l, B_l, c_l, hf, P_f, K_f, L_f, pN,
+                    interpret=interpret,
+                )
+                return (K_f, M_f, P_f, L_f, rho_f), d, v
+
+            fac_new, d, v = jax.lax.cond(
+                refactor, full_fn, vec_fn, (h_t, rg, rho))
+            K, M = fac_new[0], fac_new[1]
+            fac = [fac_new]
+        else:
+            K, d, M, v = _full(h_t, rg, rho_vec, pN)
         ws_l, xN = pr.forward_lanes(M, v, K, d, x0_l, interpret=interpret)
         wN = jnp.concatenate([jnp.zeros((nu, Bb), dt), xN], axis=0)
         w_t = jnp.concatenate([ws_l, wN[None]], axis=0)  # (N+1, nz, B)
@@ -699,7 +761,7 @@ def solve_fused(
             )
 
         stats = (k_next, iter_conv, r_prim, r_dual, conv)
-        return (w_new, z_new, y_new, rho, stats), None
+        return (w_new, z_new, y_new, rho, stats, *fac), None
 
     stats0 = (
         jnp.asarray(0, jnp.int32),
@@ -712,18 +774,26 @@ def solve_fused(
         l3(state.w), l3(state.z), l3(state.y),
         jnp.broadcast_to(jnp.asarray(state.rho, dt), (Bb,)), stats0,
     )
+    if settings.cached_factors and not single_kernel:
+        if state.factors is not None:
+            fac0 = state.factors
+        else:
+            zf = lambda *dims: jnp.zeros(dims + (Bb,), dt)
+            fac0 = (zf(N, nu, nx), zf(N, nx, nx), zf(N, nx, nx),
+                    zf(N, nu, nu), jnp.full((Bb,), -1.0, dt))
+        carry0 = carry0 + (fac0,)
     body = iteration_1k if single_kernel else iteration
     if settings.early_exit:
         def _cond(carry):
-            k_it = carry[-1][0]
-            conv = carry[-1][4]
+            k_it = carry[4][0]
+            conv = carry[4][4]
             return (k_it < settings.max_iter) & ~jnp.all(conv)
 
-        (w, z, y, rho, stats) = jax.lax.while_loop(
+        (w, z, y, rho, stats, *fac_out) = jax.lax.while_loop(
             _cond, lambda c: body(c, None)[0], carry0
         )
     else:
-        (w, z, y, rho, stats), _ = jax.lax.scan(
+        (w, z, y, rho, stats, *fac_out), _ = jax.lax.scan(
             body, carry0, None, length=settings.max_iter,
         )
     # Back to the batch-leading API layout (once).
@@ -736,7 +806,10 @@ def solve_fused(
         converged=conv,
         iter_converged=jnp.where(iter_conv < 0, k_it, iter_conv),
     )
-    return w_b, ADMMState(w=w_b, z=z_b, y=y_b, rho=rho), info
+    return w_b, ADMMState(
+        w=w_b, z=z_b, y=y_b, rho=rho,
+        factors=fac_out[0] if fac_out else None,
+    ), info
 
 
 def solve_batched(problem, x0, cones=(), settings=ADMMSettings(), state=None,

@@ -91,6 +91,20 @@ def test_pallas_lane_chunking(monkeypatch):
     )
 
 
+def test_multi_stage_grid_blocks(monkeypatch):
+    """T stages per grid step (the pipeline-overhead amortization)
+    matches the single-stage grid bit-for-bit; N=16 picks T=8,
+    forcing T=1 must reproduce it exactly."""
+    problem, _ = quadrotor(N=16, constrained=True)
+    bp, its, x0 = _batch(problem, B=4)
+    assert pallas_riccati._pick_stages(16, 764, 3072, 4, 8) == 8
+    ws_T = pallas_riccati.solve_lanes(bp, its, x0, SIGMA, interpret=True)
+    monkeypatch.setattr(
+        pallas_riccati, "_pick_stages", lambda *a, **k: 1)
+    ws_1 = pallas_riccati.solve_lanes(bp, its, x0, SIGMA, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ws_T), np.asarray(ws_1))
+
+
 def test_lanes_roundtrip():
     x = jnp.arange(24.0).reshape(2, 3, 4)
     y = pallas_riccati.from_lanes(pallas_riccati.to_lanes(x))

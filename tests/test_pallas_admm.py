@@ -106,6 +106,76 @@ def test_single_kernel_matches_two_kernel_cones():
     )
 
 
+def test_cached_factors_matches_full_refactor():
+    """cached_factors (vector-only sweeps between rho changes) follows
+    the always-refactor iteration sequence, including across adaptive
+    rho updates (which force a refactor)."""
+    problem, _ = quadrotor(N=10, constrained=True)
+    B = 3
+    rng = np.random.default_rng(13)
+    bp = _batched(problem, B)
+    bp = dataclasses.replace(
+        bp, c=bp.c + jnp.asarray(rng.normal(size=bp.c.shape) * 0.005)
+    )
+    x0s = jnp.asarray(rng.normal(size=(B, 12)) * 0.05)
+    st = _settings(max_iter=80, rho_update_interval=20)
+    ws_ref, st_ref, info_ref = admm.solve_fused(
+        bp, x0s, (), st, interpret=True, single_kernel=False
+    )
+    st_cf = dataclasses.replace(st, cached_factors=True)
+    ws_cf, st_c, info_cf = admm.solve_fused(
+        bp, x0s, (), st_cf, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(ws_cf), np.asarray(ws_ref),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(st_c.rho),
+                               np.asarray(st_ref.rho), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(info_cf.r_prim),
+                               np.asarray(info_ref.r_prim),
+                               rtol=1e-5, atol=1e-12)
+    # Incompatible with the single-kernel iteration.
+    import pytest
+
+    with pytest.raises(ValueError):
+        admm.solve_fused(bp, x0s, (), st_cf, interpret=True,
+                         single_kernel=True)
+
+
+def test_cached_factors_warm_start_reuse():
+    """state.factors skip the first refactorization of a warm solve
+    and give the same iterates as a warm solve that refactors."""
+    problem, _ = quadrotor(N=8, constrained=True)
+    B = 2
+    rng = np.random.default_rng(17)
+    bp = _batched(problem, B)
+    bp = dataclasses.replace(
+        bp, c=bp.c + jnp.asarray(rng.normal(size=bp.c.shape) * 0.004)
+    )
+    x0s = jnp.asarray(rng.normal(size=(B, 12)) * 0.05)
+    st = _settings(max_iter=30, adaptive_rho=False, cached_factors=True)
+    ws1, state, _ = admm.solve_fused(bp, x0s, (), st, interpret=True)
+    assert state.factors is not None
+    rho_f = np.asarray(state.factors[-1])
+    np.testing.assert_array_equal(rho_f, np.asarray(state.rho))
+
+    # Warm solve WITH factors vs warm solve with factors stripped.
+    ws2, _, _ = admm.solve_fused(bp, x0s, (), st, state=state,
+                                 interpret=True)
+    bare = dataclasses.replace(state, factors=None)
+    ws2_ref, _, _ = admm.solve_fused(bp, x0s, (), st, state=bare,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(ws2), np.asarray(ws2_ref),
+                               atol=1e-9)
+
+    # mpc.shift_state preserves the factors.
+    from pdp_lqr_tpu import mpc
+
+    shifted = mpc.shift_state(state, problem)
+    assert shifted.factors is not None
+    np.testing.assert_array_equal(np.asarray(shifted.w[:, :-1]),
+                                  np.asarray(state.w[:, 1:]))
+
+
 def test_early_exit_while_loop():
     """early_exit: identical math (eps=0 runs the full trip count and
     matches the scan bit-for-bit); with real tolerances it stops when
