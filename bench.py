@@ -149,7 +149,8 @@ def run_check(on_cpu: bool) -> int:
     t0 = time.perf_counter()
     wcf = np.asarray(jax.jit(lambda p, x: admm_mod.solve_fused(
         p, x, tuple(cones), _dc.replace(cst, cached_factors=True),
-        soc_shift=shift, interpret=on_cpu)[0])(cbp, cx0))
+        soc_shift=shift, interpret=on_cpu,
+        single_kernel=False)[0])(cbp, cx0))
     errf = float(np.abs(wcf - w2k).max() / max(1.0, np.abs(w2k).max()))
     results["conic_admm/cached_factors"] = errf
     print(f"# conic_admm/cached_factors: rel_err={errf:.3e} "
@@ -157,6 +158,21 @@ def run_check(on_cpu: bool) -> int:
           file=sys.stderr, flush=True)
     if not np.isfinite(errf) or errf > 1e-3:
         failures.append(f"conic_admm/cached_factors: {errf:.3e}")
+
+    # Cached-factor SINGLE-kernel mode (streamed (P, L, K), in-kernel
+    # vector-only sweep) — a distinct lowering from both cases above.
+    t0 = time.perf_counter()
+    wc1 = np.asarray(jax.jit(lambda p, x: admm_mod.solve_fused(
+        p, x, tuple(cones), _dc.replace(cst, cached_factors=True),
+        soc_shift=shift, interpret=on_cpu,
+        single_kernel=True)[0])(cbp, cx0))
+    errf1 = float(np.abs(wc1 - w2k).max() / max(1.0, np.abs(w2k).max()))
+    results["conic_admm/cached_factors_1k"] = errf1
+    print(f"# conic_admm/cached_factors_1k: rel_err={errf1:.3e} "
+          f"(compile+run {time.perf_counter() - t0:.0f}s)",
+          file=sys.stderr, flush=True)
+    if not np.isfinite(errf1) or errf1 > 1e-3:
+        failures.append(f"conic_admm/cached_factors_1k: {errf1:.3e}")
 
     worst = max(results.values())
     print(json.dumps({

@@ -10,19 +10,21 @@ gain tensor fits in VMEM, so none of that traffic is necessary.
 
 This kernel fuses the ENTIRE iteration (reference inner step
 lqr_solver.hpp:58-77 plus the outer-loop updates the reference omits)
-into one pallas_call with a two-phase grid over (lane_chunk, 2N):
+into one pallas_call with a two-phase grid over (lane_chunk, 2N/T),
+each grid step covering T consecutive stages streamed as one block
+(fewer, larger DMAs — see _pick_stages in ops/pallas_riccati):
 
-  phase 1 (t = 0..N-1)   backward Riccati sweep on stage N-1-t:
-                         in-register penalty fold from the streamed
-                         iterates (rg = rho z - y computed in-kernel),
-                         (P, p) carried in VMEM scratch, gains (K, d)
-                         SPILLED TO VMEM SCRATCH, never to HBM.
-  phase 2 (t = N..2N-1)  forward rollout on stage t-N reusing the
-                         streamed (A, B, c) blocks, immediately
-                         followed by the same stage's relaxation,
-                         box/SOC/RSOC projection, dual ascent, and
-                         residual-max accumulation — w+, z+, y+ are the
-                         only trajectory-sized HBM writes.
+  phase 1 (t < N/T)   backward Riccati sweep, T stages in-register
+                      per step: in-register penalty fold from the
+                      streamed iterates (rg = rho z - y computed
+                      in-kernel), (P, p) carried in VMEM scratch,
+                      gains (K, d) SPILLED TO VMEM SCRATCH, never to
+                      HBM.
+  phase 2 (t >= N/T)  forward rollout reusing the streamed (A, B, c)
+                      blocks, immediately followed by each stage's
+                      relaxation, box/SOC/RSOC projection, dual
+                      ascent, and residual-max accumulation — w+, z+,
+                      y+ are the only trajectory-sized HBM writes.
 
 Residual maxima (r_prim, r_dual, prim/dual scales) accumulate in a
 (4, chunk) scratch and emerge as one (4, B) output; the terminal stage
@@ -59,6 +61,7 @@ from pdp_lqr_tpu.ops.pallas_riccati import (
     _mtv,
     _mv,
     _pick_chunk,
+    _pick_stages,
 )
 
 
@@ -133,8 +136,8 @@ def _project_lanes(v, lb, ub, cones, sh):
     return segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=0)
 
 
-def _admm_iter_kernel(nu, nx, nc, N, cones, alpha, sigma, has_shift,
-                      *refs):
+def _admm_iter_kernel(nu, nx, nc, N, T, cones, alpha, sigma, has_shift,
+                      cached, *refs):
     (rho_ref, PN_ref, pN_ref, x0_ref,
      A_ref, B_ref, c_ref, Hs_ref, h_ref, D_ref, lb_ref, ub_ref, m_ref,
      *rest) = refs
@@ -143,154 +146,208 @@ def _admm_iter_kernel(nu, nx, nc, N, cones, alpha, sigma, has_shift,
         rest = rest[1:]
     else:
         sh_ref = None
-    (w_ref, z_ref, y_ref,
-     wn_ref, zn_ref, yn_ref, xN_ref, res_ref,
-     P_scr, p_scr, x_scr, K_scr, d_scr, acc_scr) = rest
+    if cached:
+        # Cached-factor mode: per-stage P_{k+1}, chol(Huu), K streamed
+        # from HBM (exported by backward_lanes(export_factors=True));
+        # phase 1 is the vector-only sweep and only d spills to VMEM.
+        Pf_ref, Lf_ref, Kf_ref, *rest = rest
+        (w_ref, z_ref, y_ref,
+         wn_ref, zn_ref, yn_ref, xN_ref, res_ref,
+         p_scr, x_scr, d_scr, acc_scr) = rest
+        K_scr = None
+    else:
+        (w_ref, z_ref, y_ref,
+         wn_ref, zn_ref, yn_ref, xN_ref, res_ref,
+         P_scr, p_scr, x_scr, K_scr, d_scr, acc_scr) = rest
 
+    # NT = N // T grid steps per phase; each step covers T consecutive
+    # stages streamed as one block (see _backward_kernel for why).
+    NT = N // T
     t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
-        P_scr[:] = PN_ref[:]
+        if not cached:
+            P_scr[:] = PN_ref[:]
         p_scr[:] = pN_ref[:]
 
     # Stage data may be stored narrower (bf16) than the compute/carry
     # dtype — upcast at load (see _backward_kernel); iterates, bounds,
     # and outputs stay in the carry precision.
-    cdt = P_scr.dtype
+    cdt = p_scr.dtype
 
-    @pl.when(t < N)
+    @pl.when(t < NT)
     def _backward():
         rho = rho_ref[0]                       # (chunk,)
-        A = A_ref[0].astype(cdt)
-        Bm = B_ref[0].astype(cdt)
-        c = c_ref[0].astype(cdt)
-        H = Hs_ref[0].astype(cdt)
-        h = h_ref[0].astype(cdt) - sigma * w_ref[0]
-        # Penalty fold with in-kernel rg = rho z - y (z, y are
-        # invariantly zero on padded rows, so no mask is needed).
-        if nc > 0:
-            D = D_ref[0].astype(cdt)
-            z = z_ref[0]
-            y = y_ref[0]
-            for ci in range(nc):
-                wrow = rho[None, :] * D[ci]            # (nz, chunk)
-                rows = []
-                for i in range(H.shape[0]):
-                    rows.append(H[i] + D[ci, i][None, :] * wrow)
-                H = jnp.stack(rows, axis=0)
-                rg_c = rho * z[ci] - y[ci]             # (chunk,)
-                h = h - rg_c[None, :] * D[ci]
-
-        R = H[:nu, :nu]
-        S = H[:nu, nu:]
-        Q = H[nu:, nu:]
-        r = h[:nu]
-        q = h[nu:]
-        P = P_scr[:]
         p = p_scr[:]
+        if cached:
+            # Vector-only sweep on cached factors (the reference's
+            # backward_without_factorization, lqr_kernel.hpp:149-178):
+            # matrix quantities are iterate-independent while rho is
+            # unchanged; only the affine recursion is redone.
+            for i in range(T - 1, -1, -1):
+                A = A_ref[i].astype(cdt)
+                Bm = B_ref[i].astype(cdt)
+                c = c_ref[i].astype(cdt)
+                h = h_ref[i].astype(cdt) - sigma * w_ref[i]
+                if nc > 0:
+                    D = D_ref[i].astype(cdt)
+                    z = z_ref[i]
+                    y = y_ref[i]
+                    for ci in range(nc):
+                        rg_c = rho * z[ci] - y[ci]     # (chunk,)
+                        h = h - rg_c[None, :] * D[ci]
+                P = Pf_ref[i]
+                K = Kf_ref[i]
+                Lt = Lf_ref[i]
+                L = [[Lt[li, lj] if lj <= li else None
+                      for lj in range(nu)] for li in range(nu)]
 
-        PA = _mm(P, A)
-        PB = _mm(P, Bm)
-        Pcp = _mv(P, c) + p
-        G = S + _mtm(Bm, PA)
-        Huu = R + _mtm(Bm, PB)
-        rbar = r + _mtv(Bm, Pcp)
+                Pcp = _mv(P, c) + p
+                rbar = h[:nu] + _mtv(Bm, Pcp)
+                d = -jnp.stack(
+                    _chol_solve_lanes(L, [rbar[ri] for ri in range(nu)]),
+                    axis=0,
+                )
+                s_idx = (NT - 1 - t) * T + i
+                d_scr[pl.ds(s_idx, 1)] = d[None]
+                p = h[nu:] + _mtv(A, Pcp) + _mtv(K, rbar)
+            p_scr[:] = p
+            return
 
-        L = _chol_lanes(Huu)
-        Kcols = []
-        for jcol in range(nx):
-            x = _chol_solve_lanes(L, [G[i, jcol] for i in range(nu)])
-            Kcols.append(jnp.stack(x, axis=0))
-        K = -jnp.stack(Kcols, axis=1)                   # (nu, nx, chunk)
-        d = -jnp.stack(
-            _chol_solve_lanes(L, [rbar[i] for i in range(nu)]), axis=0
-        )
+        P = P_scr[:]
+        for i in range(T - 1, -1, -1):
+            A = A_ref[i].astype(cdt)
+            Bm = B_ref[i].astype(cdt)
+            c = c_ref[i].astype(cdt)
+            H = Hs_ref[i].astype(cdt)
+            h = h_ref[i].astype(cdt) - sigma * w_ref[i]
+            # Penalty fold with in-kernel rg = rho z - y (z, y are
+            # invariantly zero on padded rows, so no mask is needed).
+            if nc > 0:
+                D = D_ref[i].astype(cdt)
+                z = z_ref[i]
+                y = y_ref[i]
+                for ci in range(nc):
+                    wrow = rho[None, :] * D[ci]        # (nz, chunk)
+                    rows = []
+                    for ri in range(H.shape[0]):
+                        rows.append(H[ri] + D[ci, ri][None, :] * wrow)
+                    H = jnp.stack(rows, axis=0)
+                    rg_c = rho * z[ci] - y[ci]         # (chunk,)
+                    h = h - rg_c[None, :] * D[ci]
 
-        Pn = Q + _mtm(A, PA) + _mtm(G, K)
-        Pn = 0.5 * (Pn + jnp.swapaxes(Pn, 0, 1))
-        pn = q + _mtv(A, Pcp) + _mtv(K, rbar)
+            R = H[:nu, :nu]
+            S = H[:nu, nu:]
+            Q = H[nu:, nu:]
+            r = h[:nu]
+            q = h[nu:]
 
-        s_idx = N - 1 - t
-        K_scr[pl.ds(s_idx, 1)] = K[None]
-        d_scr[pl.ds(s_idx, 1)] = d[None]
-        P_scr[:] = Pn
-        p_scr[:] = pn
+            PA = _mm(P, A)
+            PB = _mm(P, Bm)
+            Pcp = _mv(P, c) + p
+            G = S + _mtm(Bm, PA)
+            Huu = R + _mtm(Bm, PB)
+            rbar = r + _mtv(Bm, Pcp)
 
-    @pl.when(t >= N)
+            L = _chol_lanes(Huu)
+            Kcols = []
+            for jcol in range(nx):
+                x = _chol_solve_lanes(L, [G[gi, jcol] for gi in range(nu)])
+                Kcols.append(jnp.stack(x, axis=0))
+            K = -jnp.stack(Kcols, axis=1)               # (nu, nx, chunk)
+            d = -jnp.stack(
+                _chol_solve_lanes(L, [rbar[ri] for ri in range(nu)]),
+                axis=0,
+            )
+
+            Pn = Q + _mtm(A, PA) + _mtm(G, K)
+            Pn = 0.5 * (Pn + jnp.swapaxes(Pn, 0, 1))
+            pn = q + _mtv(A, Pcp) + _mtv(K, rbar)
+
+            s_idx = (NT - 1 - t) * T + i
+            K_scr[pl.ds(s_idx, 1)] = K[None]
+            d_scr[pl.ds(s_idx, 1)] = d[None]
+            P = Pn
+            p = pn
+        P_scr[:] = P
+        p_scr[:] = p
+
+    @pl.when(t >= NT)
     def _forward_update():
-        @pl.when(t == N)
+        @pl.when(t == NT)
         def _():
             x_scr[:] = x0_ref[:]
             acc_scr[:] = jnp.zeros_like(acc_scr)
 
-        s_idx = t - N
-        x = x_scr[:]
-        K = K_scr[pl.ds(s_idx, 1)][0]
-        d = d_scr[pl.ds(s_idx, 1)][0]
-        u = _mv(K, x) + d
-        w_t = jnp.concatenate([u, x], axis=0)          # (nz, chunk)
-        A = A_ref[0].astype(cdt)
-        Bm = B_ref[0].astype(cdt)
-        c = c_ref[0].astype(cdt)
-        xn = _mv(A, x) + _mv(Bm, u) + c
-        x_scr[:] = xn
-
-        @pl.when(t == 2 * N - 1)
-        def _():
-            xN_ref[:] = xn
-
         rho = rho_ref[0]
-        w = w_ref[0]
-        z = z_ref[0]
-        y = y_ref[0]
-        D = D_ref[0].astype(cdt)
-        m = m_ref[0]
-        lb = lb_ref[0]
-        ub = ub_ref[0]
-        sh = sh_ref[0] if has_shift else None
+        x = x_scr[:]
+        acc = acc_scr[:]
+        for i in range(T):
+            s_idx = (t - NT) * T + i
+            K = Kf_ref[i] if cached else K_scr[pl.ds(s_idx, 1)][0]
+            d = d_scr[pl.ds(s_idx, 1)][0]
+            u = _mv(K, x) + d
+            w_t = jnp.concatenate([u, x], axis=0)      # (nz, chunk)
+            A = A_ref[i].astype(cdt)
+            Bm = B_ref[i].astype(cdt)
+            c = c_ref[i].astype(cdt)
+            x = _mv(A, x) + _mv(Bm, u) + c
 
-        z_t = _mv(D, w_t)                              # (nc, chunk)
-        w_new = alpha * w_t + (1.0 - alpha) * w
-        v = alpha * z_t + (1.0 - alpha) * z + y / rho[None, :]
-        z_new = _project_lanes(v, lb, ub, cones, sh) * m
-        y_new = y + (rho[None, :] * m) * (
-            alpha * z_t + (1.0 - alpha) * z - z_new
-        )
-        wn_ref[0] = w_new
-        zn_ref[0] = z_new
-        yn_ref[0] = y_new
+            w = w_ref[i]
+            z = z_ref[i]
+            y = y_ref[i]
+            D = D_ref[i].astype(cdt)
+            m = m_ref[i]
+            lb = lb_ref[i]
+            ub = ub_ref[i]
+            sh = sh_ref[i] if has_shift else None
 
-        # Residual partials (exact OSQP 3.4 terms; see solvers/admm).
-        Hs = Hs_ref[0].astype(cdt)
-        Dw_new = _mv(D, w_new)
-        dw = w - w_t
-        zt_term = rho[None, :] * (
-            (alpha - 1.0) * (z_t - z) + (z - z_new)
-        )
-        # (1-a) H dw + sigma dw with H = Hs - sigma I
-        #   = (1-a) Hs dw + a sigma dw.
-        dvec = (
-            (1.0 - alpha) * _mv(Hs, dw)
-            + (alpha * sigma) * dw
-            + _mtv(D, zt_term)
-        )
-        Hw = _mv(Hs, w_new) - sigma * w_new
-        dty = _mtv(D, y_new)
+            z_t = _mv(D, w_t)                          # (nc, chunk)
+            w_new = alpha * w_t + (1.0 - alpha) * w
+            v = alpha * z_t + (1.0 - alpha) * z + y / rho[None, :]
+            z_new = _project_lanes(v, lb, ub, cones, sh) * m
+            y_new = y + (rho[None, :] * m) * (
+                alpha * z_t + (1.0 - alpha) * z - z_new
+            )
+            wn_ref[i] = w_new
+            zn_ref[i] = z_new
+            yn_ref[i] = y_new
 
-        rp = jnp.max(jnp.abs(Dw_new - z_new), axis=0)
-        rd = jnp.max(jnp.abs(dvec), axis=0)
-        ps = jnp.maximum(
-            jnp.max(jnp.abs(Dw_new), axis=0), jnp.max(jnp.abs(z_new), axis=0)
-        )
-        ds = jnp.maximum(
-            jnp.max(jnp.abs(Hw), axis=0), jnp.max(jnp.abs(dty), axis=0)
-        )
-        acc_scr[:] = jnp.maximum(acc_scr[:], jnp.stack([rp, rd, ps, ds]))
+            # Residual partials (exact OSQP 3.4 terms; see solvers/admm).
+            Hs = Hs_ref[i].astype(cdt)
+            Dw_new = _mv(D, w_new)
+            dw = w - w_t
+            zt_term = rho[None, :] * (
+                (alpha - 1.0) * (z_t - z) + (z - z_new)
+            )
+            # (1-a) H dw + sigma dw with H = Hs - sigma I
+            #   = (1-a) Hs dw + a sigma dw.
+            dvec = (
+                (1.0 - alpha) * _mv(Hs, dw)
+                + (alpha * sigma) * dw
+                + _mtv(D, zt_term)
+            )
+            Hw = _mv(Hs, w_new) - sigma * w_new
+            dty = _mtv(D, y_new)
 
-        @pl.when(t == 2 * N - 1)
+            rp = jnp.max(jnp.abs(Dw_new - z_new), axis=0)
+            rd = jnp.max(jnp.abs(dvec), axis=0)
+            ps = jnp.maximum(
+                jnp.max(jnp.abs(Dw_new), axis=0),
+                jnp.max(jnp.abs(z_new), axis=0),
+            )
+            ds = jnp.maximum(
+                jnp.max(jnp.abs(Hw), axis=0), jnp.max(jnp.abs(dty), axis=0)
+            )
+            acc = jnp.maximum(acc, jnp.stack([rp, rd, ps, ds]))
+        x_scr[:] = x
+        acc_scr[:] = acc
+
+        @pl.when(t == 2 * NT - 1)
         def _():
-            res_ref[:] = acc_scr[:]
+            xN_ref[:] = x
+            res_ref[:] = acc
 
 
 # VMEM sizing for the fused iteration.  The (K, d) spill is modeled
@@ -301,7 +358,7 @@ _BUDGET = 36 << 20
 
 
 def _vmem_words(N, nx, nu, nc, has_shift, storage_itemsize,
-                compute_itemsize):
+                compute_itemsize, cached=False):
     """(streamed words/lane, scratch+temp words/lane) in compute-word
     units; streamed stage tensors may be stored narrower."""
     nz = nx + nu
@@ -312,27 +369,39 @@ def _vmem_words(N, nx, nu, nc, has_shift, storage_itemsize,
         + nz + 2 * nc                                     # w z y
         + nz + 2 * nc                                     # outputs
     )
-    temp = (
-        N * (nu * nx + nu)                # K, d spill
-        + 3 * nx * nx + 3 * nx + 4       # P, p, x, acc (+ slack)
-        + 20 * nz * nz                    # live temporaries
-    )
+    if cached:
+        # (P, L, K) streamed instead of the K spill; only d spills.
+        words += nx * nx + nu * nu + nu * nx
+        temp = (
+            N * nu                            # d spill
+            + 2 * nx * nx + 3 * nx + 4       # p, x, acc (+ slack)
+            + 20 * nz * nz                    # live temporaries
+        )
+    else:
+        temp = (
+            N * (nu * nx + nu)                # K, d spill
+            + 3 * nx * nx + 3 * nx + 4       # P, p, x, acc (+ slack)
+            + 20 * nz * nz                    # live temporaries
+        )
     return words, temp
 
 
 def fits_vmem(N, nx, nu, nc, has_shift=False, storage_dtype=None,
-              compute_dtype=jnp.float32) -> bool:
+              compute_dtype=jnp.float32, cached=False) -> bool:
     """True when the fused iteration fits VMEM at the 128-lane floor —
-    the solve_fused(single_kernel="auto") selection predicate."""
+    the solve_fused(single_kernel="auto") selection predicate.  The
+    cached variant spills only d (not K), so it fits much longer
+    horizons."""
     c_item = jnp.dtype(compute_dtype).itemsize
     s_item = jnp.dtype(storage_dtype or compute_dtype).itemsize
-    words, temp = _vmem_words(N, nx, nu, nc, has_shift, s_item, c_item)
+    words, temp = _vmem_words(N, nx, nu, nc, has_shift, s_item, c_item,
+                              cached=cached)
     return (2 * words + temp) * 128 * c_item <= _BUDGET
 
 
 def admm_iter_lanes(A, B, c, Hs, h, D, lb, ub, mask, shift, w, z, y, rho,
                     PN, pN, x0, *, nu, cones, alpha, sigma,
-                    interpret=False):
+                    factors=None, interpret=False):
     """One fused conic ADMM iteration over stages 0..N-1, batch-in-lanes.
 
     Stage tensors (lanes layout, stage-major):
@@ -349,6 +418,14 @@ def admm_iter_lanes(A, B, c, Hs, h, D, lb, ub, mask, shift, w, z, y, rho,
     load, so HBM streaming halves while all arithmetic, iterates, and
     outputs stay in the iterate (compute) precision.
 
+    ``factors`` (optional) enables the cached-factor vector iteration:
+    a (P, L, K) triple from backward_lanes(export_factors=True) —
+    P (N,nx,nx,B) cost-to-go P_{k+1}, L (N,nu,nu,B) chol(Huu),
+    K (N,nu,nx,B) gains.  Phase 1 then redoes only the affine
+    recursion (the reference's backward_without_factorization split);
+    valid while rho and the problem matrices are unchanged since
+    export.
+
     Returns (w_new, z_new, y_new, xN, res) with res (4, B) rows
     [r_prim, r_dual, prim_scale, dual_scale] maxima over stages 0..N-1
     (the caller folds in the terminal stage).
@@ -360,6 +437,7 @@ def admm_iter_lanes(A, B, c, Hs, h, D, lb, ub, mask, shift, w, z, y, rho,
         raise ValueError("single-kernel ADMM iteration requires nc > 0")
     dt = w.dtype          # compute/carry dtype (iterates, outputs)
     has_shift = shift is not None
+    cached = factors is not None
 
     # Streamed words/lane (double-buffered by the pipeline) and live
     # scratch: the (K, d) spill dominates and scales with N; stage
@@ -370,31 +448,37 @@ def admm_iter_lanes(A, B, c, Hs, h, D, lb, ub, mask, shift, w, z, y, rho,
     words, temp = _vmem_words(
         N, nx, nu, nc, has_shift,
         jnp.dtype(A.dtype).itemsize, jnp.dtype(dt).itemsize,
+        cached=cached,
     )
     chunk = _pick_chunk(Bt, words, temp, jnp.dtype(dt).itemsize,
                         budget=_BUDGET)
     n_chunks = Bt // chunk
+    # T consecutive stages per grid step (see _pick_stages): the spill
+    # and carries (temp) are chunk-resident regardless of T, only the
+    # streamed stage block scales.
+    T = _pick_stages(N, words, temp, chunk, jnp.dtype(dt).itemsize)
+    NT = N // T
 
     def both(*dims):
         return pl.BlockSpec(
-            (1,) + dims[:-1] + (chunk,),
-            lambda b, t: (jnp.where(t < N, N - 1 - t, t - N),)
+            (T,) + dims[:-1] + (chunk,),
+            lambda b, t: (jnp.where(t < NT, NT - 1 - t, t - NT),)
             + (0,) * (len(dims) - 1) + (b,),
             memory_space=pltpu.VMEM,
         )
 
     def ph1(*dims):
         return pl.BlockSpec(
-            (1,) + dims[:-1] + (chunk,),
-            lambda b, t: (jnp.where(t < N, N - 1 - t, N - 1),)
+            (T,) + dims[:-1] + (chunk,),
+            lambda b, t: (jnp.where(t < NT, NT - 1 - t, NT - 1),)
             + (0,) * (len(dims) - 1) + (b,),
             memory_space=pltpu.VMEM,
         )
 
     def ph2(*dims):
         return pl.BlockSpec(
-            (1,) + dims[:-1] + (chunk,),
-            lambda b, t: (jnp.where(t < N, 0, t - N),)
+            (T,) + dims[:-1] + (chunk,),
+            lambda b, t: (jnp.where(t < NT, 0, t - NT),)
             + (0,) * (len(dims) - 1) + (b,),
             memory_space=pltpu.VMEM,
         )
@@ -411,7 +495,10 @@ def admm_iter_lanes(A, B, c, Hs, h, D, lb, ub, mask, shift, w, z, y, rho,
         whole(nx, nx, Bt), whole(nx, Bt),   # PN pN
         whole(nx, Bt),                      # x0
         both(nx, nx, Bt), both(nx, nu, Bt), both(nx, Bt),   # A B c
-        both(nz, nz, Bt),                   # Hs
+        # Hs only feeds phase 2 residuals in cached mode (the matrix
+        # fold is baked into the factors), so its phase-1 window pins
+        # to block 0 and costs one DMA instead of N/T.
+        ph2(nz, nz, Bt) if cached else both(nz, nz, Bt),    # Hs
         ph1(nz, Bt),                        # h
         both(nc, nz, Bt),                   # D
         ph2(nc, Bt), ph2(nc, Bt), ph2(nc, Bt),              # lb ub mask
@@ -420,6 +507,11 @@ def admm_iter_lanes(A, B, c, Hs, h, D, lb, ub, mask, shift, w, z, y, rho,
     if has_shift:
         in_specs.append(ph2(nc, Bt))
         args.append(shift)
+    if cached:
+        Pf, Lf, Kf = factors
+        in_specs += [ph1(nx, nx, Bt), ph1(nu, nu, Bt),
+                     both(nu, nx, Bt)]                       # Pf Lf Kf
+        args += [Pf, Lf, Kf]
     in_specs += [both(nz, Bt), both(nc, Bt), both(nc, Bt)]   # w z y
     args += [w, z, y]
 
@@ -435,23 +527,29 @@ def admm_iter_lanes(A, B, c, Hs, h, D, lb, ub, mask, shift, w, z, y, rho,
         jax.ShapeDtypeStruct((4, Bt), dt),
     )
     kernel = functools.partial(
-        _admm_iter_kernel, nu, nx, nc, N, tuple(cones), alpha, sigma,
-        has_shift,
+        _admm_iter_kernel, nu, nx, nc, N, T, tuple(cones), alpha, sigma,
+        has_shift, cached,
     )
+    scratch = [
+        pltpu.VMEM((nx, nx, chunk), dt),     # P carry (unused cached)
+        pltpu.VMEM((nx, chunk), dt),         # p carry
+        pltpu.VMEM((nx, chunk), dt),         # x carry
+    ]
+    if cached:
+        scratch = scratch[1:]                # no P carry
+    else:
+        scratch.append(pltpu.VMEM((N, nu, nx, chunk), dt))   # K spill
+    scratch += [
+        pltpu.VMEM((N, nu, chunk), dt),      # d spill
+        pltpu.VMEM((4, chunk), dt),          # residual acc
+    ]
     return pl.pallas_call(
         kernel,
-        grid=(n_chunks, 2 * N),
+        grid=(n_chunks, 2 * NT),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((nx, nx, chunk), dt),
-            pltpu.VMEM((nx, chunk), dt),
-            pltpu.VMEM((nx, chunk), dt),
-            pltpu.VMEM((N, nu, nx, chunk), dt),
-            pltpu.VMEM((N, nu, chunk), dt),
-            pltpu.VMEM((4, chunk), dt),
-        ],
+        scratch_shapes=scratch,
         compiler_params=_compiler_params(interpret),
         interpret=interpret,
     )(*args)

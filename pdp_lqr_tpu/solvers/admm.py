@@ -57,7 +57,7 @@ class ADMMSettings:
     eps_abs: float = 1e-6
     eps_rel: float = 1e-6
     exact_dual: bool = True       # OSQP 3.4 dual residual vs cheap proxy
-    cached_factors: bool = False  # solve_fused two-kernel path: reuse
+    cached_factors: bool = False  # solve_fused (both paths): reuse
     #   the per-stage (P, chol(Huu), K, M) factors across iterations
     #   while rho is unchanged and run the vector-only backward sweep
     #   (the reference's backward_without_factorization,
@@ -442,16 +442,12 @@ def solve_fused(
     if single_kernel == "auto":
         from pdp_lqr_tpu.ops import pallas_admm as pa
 
-        # cached_factors is implemented on the two-kernel path (the
-        # fused iteration would need a separate vector-only kernel
-        # variant; see ROADMAP).
-        single_kernel = (not settings.cached_factors) and pa.fits_vmem(
+        # With cached_factors the fused iteration streams (P, L, K)
+        # from HBM and spills only d, so it fits much longer horizons.
+        single_kernel = pa.fits_vmem(
             N, nx, nu, nc, soc_shift is not None,
-            storage_dtype, dt,
+            storage_dtype, dt, cached=settings.cached_factors,
         )
-    if settings.cached_factors and single_kernel:
-        raise ValueError("cached_factors requires the two-kernel path "
-                         "(single_kernel=False)")
 
     # Everything below lives in the lanes layout — iterate vectors
     # included — so per-iteration work is the kernel pair plus compact
@@ -569,7 +565,7 @@ def solve_fused(
         """Whole iteration as ONE pallas_call (ops/pallas_admm)."""
         from pdp_lqr_tpu.ops import pallas_admm as pa
 
-        w, z, y, rho, stats = carry
+        w, z, y, rho, stats, *fac = carry
         rho_row = rho[None, :]                       # (1, B)
 
         # Terminal fold in XLA (tiny); zero-D rows contribute nothing,
@@ -581,6 +577,35 @@ def solve_fused(
             PN = PN + DN_l[ci][:, None, :] * wrow[None, :, :]
             pN = pN - (rho * z[-1, ci] - y[-1, ci])[None, :] * DN_l[ci]
 
+        factors_arg = None
+        if settings.cached_factors:
+            # Same with/without-factorization split as the two-kernel
+            # path (reference lqr_solver.hpp:65-70): while rho is
+            # unchanged, stream the cached (P, L, K) into the fused
+            # iteration and redo only the vector recursion in-kernel.
+            # The refactor branch rebuilds via the exporting backward
+            # kernel — matrix factors are iterate-independent, so its
+            # vector inputs are zeros and its (d, v) outputs discarded.
+            K_f, M_f, P_f, L_f, rho_f = fac[0]
+            refactor = jnp.any(rho != rho_f)
+
+            def full_fn(rho_op):
+                rho_vec = rho_op[None, None, :] * mask
+                K, _, M, _, P, L = pr.backward_lanes(
+                    A_l, B_l, c_l, H_l, jnp.zeros((N, nz, Bb), dt),
+                    Dst_l, rho_vec[:-1], jnp.zeros((N, nc, Bb), dt),
+                    PN, jnp.zeros((nx, Bb), dt), interpret=interpret,
+                    export_factors=True,
+                )
+                return (K, M, P, L, rho_op)
+
+            fac_new = jax.lax.cond(
+                refactor, full_fn,
+                lambda _: (K_f, M_f, P_f, L_f, rho_f), rho,
+            )
+            fac = [fac_new]
+            factors_arg = (fac_new[2], fac_new[3], fac_new[0])
+
         shift_st = None
         if shift_l is not None:
             shift_st = jnp.broadcast_to(shift_l[:-1], (N, nc, Bb))
@@ -589,7 +614,7 @@ def solve_fused(
             lb_l[:-1], ub_l[:-1], mask[:-1], shift_st,
             w[:-1], z[:-1], y[:-1], rho_row, PN, pN, x0_l,
             nu=nu, cones=cones3, alpha=alpha, sigma=sigma,
-            interpret=interpret,
+            factors=factors_arg, interpret=interpret,
         )
 
         # Terminal stage (no control): relax/project/dual + residuals.
@@ -645,8 +670,9 @@ def solve_fused(
         w_new = jnp.concatenate([w_st, w_newN[None]], axis=0)
         z_new = jnp.concatenate([z_st, z_newN[None]], axis=0)
         y_new = jnp.concatenate([y_st, y_newN[None]], axis=0)
-        return _finish_stats(w_new, z_new, y_new, rho, stats,
-                             r_prim, r_dual, prim_scale, dual_scale)
+        out, _ = _finish_stats(w_new, z_new, y_new, rho, stats,
+                               r_prim, r_dual, prim_scale, dual_scale)
+        return out + tuple(fac), None
 
     def iteration(carry, _):
         w, z, y, rho, stats, *fac = carry    # lanes: w (N+1,nz,B), z/y (N+1,nc,B)
@@ -774,7 +800,7 @@ def solve_fused(
         l3(state.w), l3(state.z), l3(state.y),
         jnp.broadcast_to(jnp.asarray(state.rho, dt), (Bb,)), stats0,
     )
-    if settings.cached_factors and not single_kernel:
+    if settings.cached_factors:
         if state.factors is not None:
             fac0 = state.factors
         else:

@@ -106,6 +106,33 @@ def test_single_kernel_matches_two_kernel_cones():
     )
 
 
+def test_single_kernel_odd_horizon_stage_block_fallback():
+    """N with no small divisor forces T=1 (one stage per grid step);
+    divisible horizons pick the largest fitting T.  Parity must hold
+    either way."""
+    from pdp_lqr_tpu.ops.pallas_riccati import _pick_stages
+
+    assert _pick_stages(7, 100, 100, 128, 4) == 1
+    assert _pick_stages(16, 100, 100, 128, 4) == 8
+    assert _pick_stages(10, 100, 100, 128, 4) == 2
+    # A huge streamed block degrades T before the chunk.
+    assert _pick_stages(16, 1 << 20, 100, 128, 4) == 1
+
+    problem, _ = quadrotor(N=7, constrained=True)
+    B = 2
+    bp = _batched(problem, B)
+    x0s = jnp.full((B, 12), 0.03)
+    st = _settings(max_iter=30)
+    ws1, _, _ = admm.solve_fused(
+        bp, x0s, (), st, interpret=True, single_kernel=True
+    )
+    ws2, _, _ = admm.solve_fused(
+        bp, x0s, (), st, interpret=True, single_kernel=False
+    )
+    np.testing.assert_allclose(np.asarray(ws1), np.asarray(ws2),
+                               atol=1e-9)
+
+
 def test_cached_factors_matches_full_refactor():
     """cached_factors (vector-only sweeps between rho changes) follows
     the always-refactor iteration sequence, including across adaptive
@@ -124,7 +151,7 @@ def test_cached_factors_matches_full_refactor():
     )
     st_cf = dataclasses.replace(st, cached_factors=True)
     ws_cf, st_c, info_cf = admm.solve_fused(
-        bp, x0s, (), st_cf, interpret=True
+        bp, x0s, (), st_cf, interpret=True, single_kernel=False
     )
     np.testing.assert_allclose(np.asarray(ws_cf), np.asarray(ws_ref),
                                atol=1e-8)
@@ -133,12 +160,18 @@ def test_cached_factors_matches_full_refactor():
     np.testing.assert_allclose(np.asarray(info_cf.r_prim),
                                np.asarray(info_ref.r_prim),
                                rtol=1e-5, atol=1e-12)
-    # Incompatible with the single-kernel iteration.
-    import pytest
-
-    with pytest.raises(ValueError):
-        admm.solve_fused(bp, x0s, (), st_cf, interpret=True,
-                         single_kernel=True)
+    # Single-kernel cached mode: (P, L, K) streamed into the fused
+    # iteration, vector-only in-kernel sweep — same sequence again.
+    ws_1k, st_1, info_1k = admm.solve_fused(
+        bp, x0s, (), st_cf, interpret=True, single_kernel=True
+    )
+    np.testing.assert_allclose(np.asarray(ws_1k), np.asarray(ws_ref),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(st_1.rho),
+                               np.asarray(st_ref.rho), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(info_1k.r_prim),
+                               np.asarray(info_ref.r_prim),
+                               rtol=1e-5, atol=1e-12)
 
 
 def test_cached_factors_warm_start_reuse():
@@ -152,20 +185,30 @@ def test_cached_factors_warm_start_reuse():
         bp, c=bp.c + jnp.asarray(rng.normal(size=bp.c.shape) * 0.004)
     )
     x0s = jnp.asarray(rng.normal(size=(B, 12)) * 0.05)
+    # Pinned to the two-kernel path: this test exercises the factor
+    # warm-start bookkeeping, not the kernels (single-kernel cached
+    # parity is covered by test_cached_factors_matches_full_refactor,
+    # and interpret-mode lax.cond-of-pallas is ~10x slower there).
     st = _settings(max_iter=30, adaptive_rho=False, cached_factors=True)
-    ws1, state, _ = admm.solve_fused(bp, x0s, (), st, interpret=True)
+    ws1, state, _ = admm.solve_fused(bp, x0s, (), st, interpret=True,
+                                     single_kernel=False)
     assert state.factors is not None
     rho_f = np.asarray(state.factors[-1])
     np.testing.assert_array_equal(rho_f, np.asarray(state.rho))
 
     # Warm solve WITH factors vs warm solve with factors stripped.
     ws2, _, _ = admm.solve_fused(bp, x0s, (), st, state=state,
-                                 interpret=True)
+                                 interpret=True, single_kernel=False)
     bare = dataclasses.replace(state, factors=None)
     ws2_ref, _, _ = admm.solve_fused(bp, x0s, (), st, state=bare,
-                                     interpret=True)
+                                     interpret=True, single_kernel=False)
     np.testing.assert_allclose(np.asarray(ws2), np.asarray(ws2_ref),
                                atol=1e-9)
+    # (Single-kernel factor warm-start shares this exact carry0 code
+    # path — `if settings.cached_factors:` — and its in-solve caching
+    # incl. the rho_f sentinel is pinned by
+    # test_cached_factors_matches_full_refactor; a dedicated 1k
+    # warm-start run would add ~900s of interpret-mode compiles.)
 
     # mpc.shift_state preserves the factors.
     from pdp_lqr_tpu import mpc
