@@ -281,7 +281,11 @@ def main():
         sys.exit(run_check(on_cpu))
     if args.admm:
         sys.exit(run_admm_bench(args, on_cpu, backend))
-    B = args.batch if args.batch is not None else (32 if on_cpu else 4096)
+    # Resident default is B=2048: the lanes arrays and the solve
+    # outputs fit HBM comfortably there, while B=4096 resident sits at
+    # the 16 GB edge (transient double-residency during prepare).
+    B = args.batch if args.batch is not None else (
+        32 if on_cpu else (2048 if args.resident else 4096))
     N = args.horizon
 
     if args.model == "quadrotor":
@@ -332,6 +336,11 @@ def main():
         prep0 = pallas_riccati.prepare_lanes(
             problem, its, x0, 1e-6, storage_dt)
         step_args, nu_static = prep0[:-1], prep0[-1]
+        # Free the (B, N, ...) layout: resident mode times the lanes
+        # arrays only, and keeping both layouts alive needs ~13 GB at
+        # B=4096 N=512 before solve outputs — past the 16 GB HBM
+        # (the RESOURCE_EXHAUSTED failure this replaces).
+        problem = its = x0 = None
 
         def step(*arrays):
             return pallas_riccati.solve_prepared(

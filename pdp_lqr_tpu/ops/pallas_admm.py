@@ -55,6 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 from pdp_lqr_tpu.ops.pallas_riccati import (
     _chol_lanes,
     _chol_solve_lanes,
+    _chol_solve_rows,
     _compiler_params,
     _mm,
     _mtm,
@@ -251,15 +252,15 @@ def _admm_iter_kernel(nu, nx, nc, N, T, cones, alpha, sigma, has_shift,
             rbar = r + _mtv(Bm, Pcp)
 
             L = _chol_lanes(Huu)
-            Kcols = []
-            for jcol in range(nx):
-                x = _chol_solve_lanes(L, [G[gi, jcol] for gi in range(nu)])
-                Kcols.append(jnp.stack(x, axis=0))
-            K = -jnp.stack(Kcols, axis=1)               # (nu, nx, chunk)
-            d = -jnp.stack(
-                _chol_solve_lanes(L, [rbar[ri] for ri in range(nu)]),
-                axis=0,
+            # [K d] = -Huu^{-1} [G rbar]: one multi-rhs solve on
+            # (nx+1, chunk) row tiles (see _chol_solve_rows).
+            sol = _chol_solve_rows(
+                L,
+                [jnp.concatenate([G[gi], rbar[gi][None, :]], axis=0)
+                 for gi in range(nu)],
             )
+            K = -jnp.stack([sol[gi][:nx] for gi in range(nu)], axis=0)
+            d = -jnp.stack([sol[gi][nx] for gi in range(nu)], axis=0)
 
             Pn = Q + _mtm(A, PA) + _mtm(G, K)
             Pn = 0.5 * (Pn + jnp.swapaxes(Pn, 0, 1))

@@ -92,9 +92,11 @@ def test_pallas_lane_chunking(monkeypatch):
 
 
 def test_multi_stage_grid_blocks(monkeypatch):
-    """T stages per grid step (the pipeline-overhead amortization)
-    matches the single-stage grid bit-for-bit; N=16 picks T=8,
-    forcing T=1 must reproduce it exactly."""
+    """T stages per grid step (the pipeline-overhead amortization) is
+    pure scheduling: N=16 picks T=8, and forcing T=1 must reproduce it
+    to rounding (the vectorized _mv reduction may be reassociated
+    differently by XLA across the two program shapes, so bitwise
+    equality is not guaranteed; 1e-12 in f64 pins same-math)."""
     problem, _ = quadrotor(N=16, constrained=True)
     bp, its, x0 = _batch(problem, B=4)
     assert pallas_riccati._pick_stages(16, 764, 3072, 4, 8) == 8
@@ -102,7 +104,9 @@ def test_multi_stage_grid_blocks(monkeypatch):
     monkeypatch.setattr(
         pallas_riccati, "_pick_stages", lambda *a, **k: 1)
     ws_1 = pallas_riccati.solve_lanes(bp, its, x0, SIGMA, interpret=True)
-    np.testing.assert_array_equal(np.asarray(ws_T), np.asarray(ws_1))
+    np.testing.assert_allclose(
+        np.asarray(ws_T), np.asarray(ws_1), atol=1e-12
+    )
 
 
 def test_lanes_roundtrip():
