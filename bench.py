@@ -284,8 +284,18 @@ def main():
     # Resident default is B=2048: the lanes arrays and the solve
     # outputs fit HBM comfortably there, while B=4096 resident sits at
     # the 16 GB edge (transient double-residency during prepare).
-    B = args.batch if args.batch is not None else (
-        32 if on_cpu else (2048 if args.resident else 4096))
+    # Large-state models default lower: mass-spring H alone is
+    # (B, 513, 50, 50) = 23.5 GB at B=4096.
+    if args.batch is not None:
+        B = args.batch
+    elif on_cpu:
+        B = 32
+    elif args.model != "quadrotor":
+        # nz=50 mass-spring at B=1024 overflows HBM by ~200 MB (both
+        # layouts + temps inside one program); 512 leaves headroom.
+        B = 512 if args.model == "mass_spring" else 1024
+    else:
+        B = 2048 if args.resident else 4096
     N = args.horizon
 
     if args.model == "quadrotor":
