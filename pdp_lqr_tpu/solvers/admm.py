@@ -735,6 +735,10 @@ def solve_fused(
             fac = [fac_new]
         else:
             K, d, M, v = _full(h_t, rg, rho_vec, pN)
+        # The (M, v) pairing stays on this path: M is either cached
+        # (iterate-independent) or a byproduct of the refactor sweep,
+        # and forward_lanes streams fewer words than the raw dynamics
+        # (measured: raw-(A, B, c) rollout cost the cached path ~9%).
         ws_l, xN = pr.forward_lanes(M, v, K, d, x0_l, interpret=interpret)
         wN = jnp.concatenate([jnp.zeros((nu, Bb), dt), xN], axis=0)
         w_t = jnp.concatenate([ws_l, wN[None]], axis=0)  # (N+1, nz, B)
