@@ -52,23 +52,27 @@ def main():
     prep = pr.prepare_lanes(problem, its, x0, 1e-6)
     (A, Bm, c, H, h, D, rho, rg, PN, pN, x0_l, _) = prep
 
-    bw = jax.jit(lambda *a: pr.backward_lanes(*a, interpret=on_cpu))
+    # The headline pairing: (K, d)-only sweep + raw-dynamics rollout.
+    bw = jax.jit(lambda *a: pr.backward_lanes(
+        *a, interpret=on_cpu, emit_closed_loop=False))
     t_bw = _time(bw, (A, Bm, c, H, h, D, rho, rg, PN, pN), args.reps)
-    K, d, M, v = bw(A, Bm, c, H, h, D, rho, rg, PN, pN)
+    K, d = bw(A, Bm, c, H, h, D, rho, rg, PN, pN)
 
-    fw = jax.jit(lambda *a: pr.forward_lanes(*a, interpret=on_cpu))
-    t_fw = _time(fw, (M, v, K, d, x0_l), args.reps)
+    fw = jax.jit(lambda *a: pr.forward_rollout_lanes(
+        *a, interpret=on_cpu))
+    t_fw = _time(fw, (A, Bm, c, K, d, x0_l), args.reps)
 
     roof = profiling.riccati_roofline(N, nx, nu, nc, B)
     bound_ms = max(roof["t_mem_ms"], roof["t_compute_ms"])
     util_bw = bound_ms / (t_bw * 1e3)
 
-    # Forward kernel roofline: streams (M, v, K, d) in, (ws, xN) out,
-    # ~2(nx^2 + nu nx) FLOPs/stage of matvec work — memory-bound.
+    # Forward kernel roofline: streams (A, B, c, K, d) in, (ws, xN)
+    # out, ~2(2 nx^2/... nx(nx+2nu)) FLOPs/stage of matvec work —
+    # memory-bound.
     dtype_bytes = 4
-    fw_words = (nx * nx + nx + nu * nx + nu) + (nx + nu)
+    fw_words = (nx * nx + nx * nu + nx + nu * nx + nu) + (nx + nu)
     fw_bytes = fw_words * N * B * dtype_bytes
-    fw_flops = 2 * (nx * nx + nu * nx) * N * B
+    fw_flops = 2 * (nx * nx + 2 * nu * nx) * N * B
     t_mem_fw = fw_bytes / (819.0e9) * 1e3
     t_cmp_fw = fw_flops / (0.9e12 * 8) * 1e3
     bound_fw = max(t_mem_fw, t_cmp_fw)

@@ -465,6 +465,10 @@ LANE_CHUNK = 512        # max lanes per grid step
 VMEM_BUDGET = 12 << 20  # streamed blocks + live temporaries per chunk
 STAGE_BLOCK_BUDGET = 36 << 20  # T-stage streamed block budget (< 48 MB
 #   scoped limit, slack for unmodeled live temporaries)
+MAX_STAGE_BLOCK = 8     # cap on stages per grid step.  The kernel body
+#   unrolls T stage bodies, so trace/compile cost scales with T —
+#   tests/conftest.py pins this to 1 on CPU (interpret-mode compiles
+#   are the suite's dominant cost; T-blocking has a dedicated test).
 
 
 def _pick_stages(N: int, words_per_stage: int, temp_words: int,
@@ -479,6 +483,8 @@ def _pick_stages(N: int, words_per_stage: int, temp_words: int,
     step count T-fold at unchanged math.
     """
     for T in (8, 4, 2):
+        if T > MAX_STAGE_BLOCK:
+            continue
         est = (2 * T * words_per_stage + temp_words) * chunk * dtype_bytes
         if N % T == 0 and est <= STAGE_BLOCK_BUDGET:
             return T

@@ -61,12 +61,16 @@ def time_fn(fn: Callable, *args, iters: int = 20, warmup: int = 1) -> Timing:
 def riccati_roofline(N: int, nx: int, nu: int, nc: int, B: int,
                      dtype_bytes: int = 4,
                      hbm_gbps: float = 819.0,
-                     vpu_flops: float = 0.9e12 * 8):
+                     vpu_flops: float = 0.9e12 * 8,
+                     closed_loop: bool = False):
     """Analytic bounds for the fused backward kernel on one chip.
 
     Returns dict with bytes/solve, flops/solve, and the memory/compute
     time bounds — used to judge how far measured numbers sit from
     speed-of-light (BASELINE.md asks for this explicitly).
+
+    ``closed_loop`` models the legacy (M, v)-emitting sweep; the
+    headline path runs emit_closed_loop=False (K, d only).
     """
     nz = nx + nu
     words_per_stage = (
@@ -74,11 +78,15 @@ def riccati_roofline(N: int, nx: int, nu: int, nc: int, B: int,
         + nz * nz + nz                  # H, h
         + nc * nz + 2 * nc              # D, rho, rg
     )
-    out_words = nu * nx + nu + nx * nx + nx   # K, d, M, v
+    out_words = nu * nx + nu             # K, d
+    if closed_loop:
+        out_words += nx * nx + nx        # M, v
     bytes_total = (words_per_stage + out_words) * N * B * dtype_bytes
 
     fold = nc * nz * (nz + 1)
-    matmuls = 2 * (nx ** 3) + 2 * (nx * nx * nu) + nx * nu * nu + nx * nu * nx
+    matmuls = 2 * (nx ** 3) + 2 * (nx * nx * nu) + nx * nu * nu
+    if closed_loop:
+        matmuls += nx * nu * nx          # M = A + B K
     chol = nu ** 3 // 3 + (nx + 1) * nu * nu
     vecs = 6 * nx * nx
     flops_total = 2 * (fold + matmuls + chol + vecs) * N * B

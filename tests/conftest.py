@@ -22,3 +22,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Interpret-mode kernel compiles dominate the suite's wall-clock, and
+# the kernel body unrolls MAX_STAGE_BLOCK stage bodies per grid step —
+# pure scheduling with no math effect.  Pin it to 1 here (~8x less code
+# to trace/compile per kernel); test_multi_stage_grid_blocks restores
+# it to cover the blocked path, and the on-device gate (bench.py
+# --check) runs the T-enabled kernels on real hardware.
+from pdp_lqr_tpu.ops import pallas_riccati as _pr
+
+_pr.MAX_STAGE_BLOCK = 1

@@ -96,7 +96,11 @@ def test_multi_stage_grid_blocks(monkeypatch):
     pure scheduling: N=16 picks T=8, and forcing T=1 must reproduce it
     to rounding (the vectorized _mv reduction may be reassociated
     differently by XLA across the two program shapes, so bitwise
-    equality is not guaranteed; 1e-12 in f64 pins same-math)."""
+    equality is not guaranteed; 1e-12 in f64 pins same-math).
+
+    conftest pins MAX_STAGE_BLOCK=1 suite-wide (compile time); this
+    test restores it to exercise the blocked path."""
+    monkeypatch.setattr(pallas_riccati, "MAX_STAGE_BLOCK", 8)
     problem, _ = quadrotor(N=16, constrained=True)
     bp, its, x0 = _batch(problem, B=4)
     assert pallas_riccati._pick_stages(16, 764, 3072, 4, 8) == 8

@@ -106,17 +106,23 @@ def test_single_kernel_matches_two_kernel_cones():
     )
 
 
-def test_single_kernel_odd_horizon_stage_block_fallback():
+def test_single_kernel_odd_horizon_stage_block_fallback(monkeypatch):
     """N with no small divisor forces T=1 (one stage per grid step);
     divisible horizons pick the largest fitting T.  Parity must hold
     either way."""
+    from pdp_lqr_tpu.ops import pallas_riccati
     from pdp_lqr_tpu.ops.pallas_riccati import _pick_stages
 
+    # conftest pins MAX_STAGE_BLOCK=1 for compile time; restore it for
+    # the selection assertions (the solves below run at T=1, which is
+    # exactly the fallback this test pins).
+    monkeypatch.setattr(pallas_riccati, "MAX_STAGE_BLOCK", 8)
     assert _pick_stages(7, 100, 100, 128, 4) == 1
     assert _pick_stages(16, 100, 100, 128, 4) == 8
     assert _pick_stages(10, 100, 100, 128, 4) == 2
     # A huge streamed block degrades T before the chunk.
     assert _pick_stages(16, 1 << 20, 100, 128, 4) == 1
+    monkeypatch.setattr(pallas_riccati, "MAX_STAGE_BLOCK", 1)
 
     problem, _ = quadrotor(N=7, constrained=True)
     B = 2
