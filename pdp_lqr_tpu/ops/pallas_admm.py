@@ -57,8 +57,10 @@ from pdp_lqr_tpu.ops.pallas_riccati import (
     _chol_solve_lanes,
     _chol_solve_rows,
     _compiler_params,
+    _low_rows,
     _mm,
     _mtm,
+    _mtm_sym,
     _mtv,
     _mv,
     _pick_chunk,
@@ -248,10 +250,9 @@ def _admm_iter_kernel(nu, nx, nc, N, T, cones, alpha, sigma, has_shift,
             PB = _mm(P, Bm)
             Pcp = _mv(P, c) + p
             G = S + _mtm(Bm, PA)
-            Huu = R + _mtm(Bm, PB)
             rbar = r + _mtv(Bm, Pcp)
 
-            L = _chol_lanes(Huu)
+            L = _chol_lanes(_low_rows(R, Bm, PB))
             # [K d] = -Huu^{-1} [G rbar]: one multi-rhs solve on
             # (nx+1, chunk) row tiles (see _chol_solve_rows).
             sol = _chol_solve_rows(
@@ -262,8 +263,7 @@ def _admm_iter_kernel(nu, nx, nc, N, T, cones, alpha, sigma, has_shift,
             K = -jnp.stack([sol[gi][:nx] for gi in range(nu)], axis=0)
             d = -jnp.stack([sol[gi][nx] for gi in range(nu)], axis=0)
 
-            Pn = Q + _mtm(A, PA) + _mtm(G, K)
-            Pn = 0.5 * (Pn + jnp.swapaxes(Pn, 0, 1))
+            Pn = _mtm_sym([(A, PA), (G, K)], Q)
             pn = q + _mtv(A, Pcp) + _mtv(K, rbar)
 
             s_idx = (NT - 1 - t) * T + i

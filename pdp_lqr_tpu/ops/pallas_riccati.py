@@ -92,18 +92,95 @@ def _mtv(X, v):
     return acc
 
 
+def _sym_rows(base, pairs):
+    """Upper-triangle rows of base + sum_k Xk^T Yk (symmetric result).
+
+    Row i covers columns i..m-1 only — each FMA runs on a (m-i, B)
+    tile instead of (m, B), cutting ~45% of the FMA work of the
+    full-product-then-symmetrize pattern (the reference's CPU kernel
+    exploits the same symmetry via rankUpdate, lqr_kernel.hpp:121-126).
+    Returns a list: up[i] is (m-i, B).
+    """
+    m = base.shape[0]
+    up = []
+    for i in range(m):
+        acc = base[i, i:]
+        for X, Y in pairs:
+            for t in range(X.shape[0]):
+                acc = acc + X[t, i][None, :] * Y[t, i:]
+        up.append(acc)
+    return up
+
+
+def _sym_mirror(up):
+    """Assemble the full (m, m, B) matrix from upper-triangle rows.
+
+    Row i below the diagonal is read back from previously computed rows
+    (entry (i, j), j < i equals up[j][i - j]) — copies, not FMAs, and
+    it replaces the old explicit 0.5 * (P + P^T) symmetrization (whose
+    sublane transpose was itself not free)."""
+    m = len(up)
+    rows = [up[0]]
+    for i in range(1, m):
+        parts = [up[j][i - j][None, :] for j in range(i)]
+        parts.append(up[i])
+        rows.append(jnp.concatenate(parts, axis=0))
+    return jnp.stack(rows, axis=0)
+
+
+def _mtm_sym(pairs, base):
+    """base + sum_k Xk^T Yk for a symmetric result (exactly symmetric
+    by construction — upper triangle computed, lower mirrored)."""
+    return _sym_mirror(_sym_rows(base, pairs))
+
+
+def _mm_sym_sub(X, Y, base):
+    """base - X @ Y for a symmetric result; upper triangle + mirror."""
+    m = base.shape[0]
+    n = X.shape[1]
+    up = []
+    for i in range(m):
+        acc = base[i, i:]
+        for t in range(n):
+            acc = acc - X[i, t][None, :] * Y[t, i:]
+        up.append(acc)
+    return _sym_mirror(up)
+
+
+def _low_rows(base, X, Y):
+    """Lower-triangle rows of base + X^T Y (symmetric): low[i] is
+    (i+1, B) covering columns 0..i.  Cholesky only ever reads the
+    lower triangle, so the upper half of Huu is never computed."""
+    k, m, _ = X.shape
+    low = []
+    for i in range(m):
+        acc = base[i, : i + 1]
+        for t in range(k):
+            acc = acc + X[t, i][None, :] * Y[t, : i + 1]
+        low.append(acc)
+    return low
+
+
 def _chol_lanes(M):
-    """Unrolled lane-batched Cholesky of (n, n, B); returns list-of-lists."""
-    n = M.shape[0]
+    """Unrolled lane-batched Cholesky; returns list-of-lists.
+
+    ``M`` is either a (n, n, B) array or a list of lower-triangle rows
+    (from _low_rows) — only the lower triangle is ever read."""
+    if isinstance(M, list):
+        n = len(M)
+        get = lambda i, j: M[i][j]
+    else:
+        n = M.shape[0]
+        get = lambda i, j: M[i, j]
     L = [[None] * n for _ in range(n)]
     for j in range(n):
-        s = M[j, j]
+        s = get(j, j)
         for t in range(j):
             s = s - L[j][t] * L[j][t]
         L[j][j] = jnp.sqrt(s)
         inv = 1.0 / L[j][j]
         for i in range(j + 1, n):
-            s = M[i, j]
+            s = get(i, j)
             for t in range(j):
                 s = s - L[i][t] * L[j][t]
             L[i][j] = s * inv
@@ -227,10 +304,10 @@ def _backward_kernel(nu, nx, nc, export, emit_mv, T,
         Pcp = _mv(P, c) + p               # (nx, B)
 
         G = S + _mtm(Bm, PA)              # (nu, nx, B)
-        Huu = R + _mtm(Bm, PB)            # (nu, nu, B)
         rbar = r + _mtv(Bm, Pcp)          # (nu, B)
 
-        L = _chol_lanes(Huu)
+        # Huu = R + B^T P B, lower triangle only (all chol reads).
+        L = _chol_lanes(_low_rows(R, Bm, PB))
         # [K d] = -Huu^{-1} [G rbar]: one multi-rhs solve on (nx+1, B)
         # row tiles instead of nx+1 single-lane column solves.
         sol = _chol_solve_rows(
@@ -241,8 +318,8 @@ def _backward_kernel(nu, nx, nc, export, emit_mv, T,
         K = -jnp.stack([sol[gi][:nx] for gi in range(nu)], axis=0)
         d = -jnp.stack([sol[gi][nx] for gi in range(nu)], axis=0)
 
-        Pn = Q + _mtm(A, PA) + _mtm(G, K)
-        Pn = 0.5 * (Pn + jnp.swapaxes(Pn, 0, 1))
+        # P+ = Q + A^T PA + G^T K: symmetric — upper triangle + mirror.
+        Pn = _mtm_sym([(A, PA), (G, K)], Q)
         pn = q + _mtv(A, Pcp) + _mtv(K, rbar)
 
         K_ref[i] = K
@@ -335,10 +412,9 @@ def _backward_pdp_kernel(nu, nx, nc,
     PB = _mm(P, Bm)
     Pcp = _mv(P, c) + p
     G = S + _mtm(Bm, PA)
-    Huu = R + _mtm(Bm, PB)
     rbar = r + _mtv(Bm, Pcp)
 
-    L = _chol_lanes(Huu)
+    L = _chol_lanes(_low_rows(R, Bm, PB))
     FB = _mm(F, Bm)                       # F+ B (nx, nu, B)
     # [K Gp d] = -Huu^{-1} [G (F+ B)^T rbar]: one multi-rhs solve on
     # (2nx+1, B) row tiles instead of 2nx+1 single-lane column solves.
@@ -351,16 +427,15 @@ def _backward_pdp_kernel(nu, nx, nc,
     Gp = -jnp.stack([sol[gi][nx:2 * nx] for gi in range(nu)], axis=0)
     d = -jnp.stack([sol[gi][2 * nx] for gi in range(nu)], axis=0)
 
-    Pn = Q + _mtm(A, PA) + _mtm(G, K)
-    Pn = 0.5 * (Pn + jnp.swapaxes(Pn, 0, 1))
+    Pn = _mtm_sym([(A, PA), (G, K)], Q)
     pn = q + _mtv(A, Pcp) + _mtv(K, rbar)
 
     Mcl = A + _mm(Bm, K)
     vcl = _mv(Bm, d) + c
     Fn = _mm(F, Mcl)
     fn = _mv(F, vcl) + f
-    Cn = C - _mm(FB, Gp)
-    Cn = 0.5 * (Cn + jnp.swapaxes(Cn, 0, 1))
+    # C+ = C - (F+ B) Gp: symmetric Gram accumulation, triangle + mirror.
+    Cn = _mm_sym_sub(FB, Gp, C)
 
     K_ref[0] = K
     d_ref[0] = d
@@ -690,7 +765,23 @@ def _backward_vec_kernel(nu, nx, T,
     p_scr[:] = p
 
 
-def backward_vectors_lanes(A, B, c, hf, P, K, L, pN, *, interpret=False):
+def _vec_sweep_words(nx, nu, nz):
+    """Per-lane streamed words of the cached vector sweep (shared by
+    backward_vectors_lanes and prepare_shared for chunk agreement)."""
+    return (nx * nx + nx * nu + nx + nz          # A B c hf
+            + nx * nx + nu * nx + nu * nu + nx   # P K L pN
+            + nu + nx)                            # d v
+
+
+def vector_sweep_chunk(Bt, nx, nu, dtype) -> int:
+    """Lane chunk the vector-sweep kernel picks for batch Bt —
+    shared-stage tensors must be replicated to exactly this width."""
+    return _pick_chunk(Bt, _vec_sweep_words(nx, nu, nx + nu),
+                       8 * nx * nx, jnp.dtype(dtype).itemsize)
+
+
+def backward_vectors_lanes(A, B, c, hf, P, K, L, pN, *, interpret=False,
+                           shared=False):
     """Cached-factor vector sweep; returns (d, v) for forward_lanes.
 
     A (N,nx,nx,B), B (N,nx,nu,B), c (N,nx,B), hf (N,nz,B) the fully
@@ -704,16 +795,31 @@ def backward_vectors_lanes(A, B, c, hf, P, K, L, pN, *, interpret=False):
     forward_lanes(M, v, ...) streams 156 words/stage vs 204 for the
     raw (A, B, c) — measured faster (37.7k vs 34.3k cached two-kernel
     ADMM solves/s).
+
+    ``shared=True`` is the broadcast (shared-stage) problem mode: the
+    matrix streams (A, B, P, K, L) carry ONE lane chunk of replicated
+    data (lane dim == vector_sweep_chunk(B, ...)) instead of B lanes —
+    their lane-block index pins to 0 for every chunk, so HBM holds one
+    copy while the per-instance vectors (c, hf, pN, d, v) run the full
+    batch.  One shared model serving B scenarios never pays B copies of
+    its matrices (the reference holds exactly one shared model per
+    process, lqr_model.hpp:66-89).
     """
-    N, nx, _, Bt = A.shape
+    N = A.shape[0]
+    nx = A.shape[1]
     nu = B.shape[2]
+    Bt = c.shape[-1]
     nz = nx + nu
     dt = P.dtype
 
-    words = (nx * nx + nx * nu + nx + nz          # A B c hf
-             + nx * nx + nu * nx + nu * nu + nx   # P K L pN
-             + nu + nx)                            # d v
+    words = _vec_sweep_words(nx, nu, nz)
     chunk = _pick_chunk(Bt, words, 8 * nx * nx, jnp.dtype(dt).itemsize)
+    if shared and A.shape[-1] != chunk:
+        raise ValueError(
+            f"shared-stage tensors must be replicated to the lane chunk "
+            f"({chunk}); got lane dim {A.shape[-1]} "
+            f"(use vector_sweep_chunk)"
+        )
     n_chunks = Bt // chunk
     T = _pick_stages(N, words, 8 * nx * nx, chunk,
                      jnp.dtype(dt).itemsize)
@@ -723,6 +829,12 @@ def backward_vectors_lanes(A, B, c, hf, P, K, L, pN, *, interpret=False):
         lambda b, t: (N // T - 1 - t,) + (0,) * (len(dims) - 1) + (b,),
         memory_space=pltpu.VMEM,
     )
+    # Shared matrix streams: same block shape, lane-block pinned to 0.
+    stage_sh = (lambda *dims: pl.BlockSpec(
+        (T,) + dims[:-1] + (chunk,),
+        lambda b, t: (N // T - 1 - t,) + (0,) * (len(dims) - 1) + (0,),
+        memory_space=pltpu.VMEM,
+    )) if shared else stage
     whole = lambda *dims: pl.BlockSpec(
         dims[:-1] + (chunk,),
         lambda b, t: (0,) * (len(dims) - 1) + (b,),
@@ -734,9 +846,10 @@ def backward_vectors_lanes(A, B, c, hf, P, K, L, pN, *, interpret=False):
         kernel,
         grid=(n_chunks, N // T),
         in_specs=[
-            stage(nx, nx, Bt), stage(nx, nu, Bt), stage(nx, Bt),
+            stage_sh(nx, nx, Bt), stage_sh(nx, nu, Bt), stage(nx, Bt),
             stage(nz, Bt),
-            stage(nx, nx, Bt), stage(nu, nx, Bt), stage(nu, nu, Bt),
+            stage_sh(nx, nx, Bt), stage_sh(nu, nx, Bt),
+            stage_sh(nu, nu, Bt),
             whole(nx, Bt),
         ],
         out_specs=(stage(nu, Bt), stage(nx, Bt)),

@@ -84,7 +84,17 @@ def riccati_roofline(N: int, nx: int, nu: int, nc: int, B: int,
     bytes_total = (words_per_stage + out_words) * N * B * dtype_bytes
 
     fold = nc * nz * (nz + 1)
-    matmuls = 2 * (nx ** 3) + 2 * (nx * nx * nu) + nx * nu * nu
+    # Symmetric products (P+, Huu) are computed triangle-only and
+    # mirrored (ops/pallas_riccati._mtm_sym/_low_rows), so the model
+    # counts tri(nx) entries for P+ and tri(nu) rows for Huu.
+    tri_x = nx * (nx + 1) // 2
+    tri_u = nu * (nu + 1) // 2
+    matmuls = (
+        nx ** 3 + nx * nx * nu          # PA, PB
+        + nu * nx * nx                  # G = S + B^T PA
+        + tri_x * (nx + nu)             # P+ upper: A^T PA + G^T K
+        + tri_u * nx                    # Huu lower: R + B^T PB
+    )
     if closed_loop:
         matmuls += nx * nu * nx          # M = A + B K
     chol = nu ** 3 // 3 + (nx + 1) * nu * nu
