@@ -65,6 +65,7 @@ from pdp_lqr_tpu.ops.pallas_riccati import (
     _mv,
     _pick_chunk,
     _pick_stages,
+    _shared_slice,
 )
 
 
@@ -197,8 +198,9 @@ def _admm_iter_kernel(nu, nx, nc, N, T, cones, alpha, sigma, has_shift,
                     D = D_ref[i].astype(cdt)
                     z = z_ref[i]
                     y = y_ref[i]
+                    m = m_ref[i]
                     for ci in range(nc):
-                        rg_c = rho * z[ci] - y[ci]     # (chunk,)
+                        rg_c = rho * m[ci] * z[ci] - y[ci]   # (chunk,)
                         h = h - rg_c[None, :] * D[ci]
                 P = Pf_ref[i]
                 K = Kf_ref[i]
@@ -225,19 +227,23 @@ def _admm_iter_kernel(nu, nx, nc, N, T, cones, alpha, sigma, has_shift,
             c = c_ref[i].astype(cdt)
             H = Hs_ref[i].astype(cdt)
             h = h_ref[i].astype(cdt) - sigma * w_ref[i]
-            # Penalty fold with in-kernel rg = rho z - y (z, y are
-            # invariantly zero on padded rows, so no mask is needed).
+            # Penalty fold with in-kernel rg = rho_row z - y (z, y are
+            # invariantly zero on padded rows).  The mask stream m
+            # carries the per-row rho SCALE (0 padded / 1 / eq-boost) —
+            # the reference's rho_vecs interface (lqr_solver.hpp:15-22).
             if nc > 0:
                 D = D_ref[i].astype(cdt)
                 z = z_ref[i]
                 y = y_ref[i]
+                m = m_ref[i]
                 for ci in range(nc):
-                    wrow = rho[None, :] * D[ci]        # (nz, chunk)
+                    rho_c = rho * m[ci]                # (chunk,)
+                    wrow = rho_c[None, :] * D[ci]      # (nz, chunk)
                     rows = []
                     for ri in range(H.shape[0]):
                         rows.append(H[ri] + D[ci, ri][None, :] * wrow)
                     H = jnp.stack(rows, axis=0)
-                    rg_c = rho * z[ci] - y[ci]         # (chunk,)
+                    rg_c = rho_c * z[ci] - y[ci]       # (chunk,)
                     h = h - rg_c[None, :] * D[ci]
 
             R = H[:nu, :nu]
@@ -306,9 +312,14 @@ def _admm_iter_kernel(nu, nx, nc, N, T, cones, alpha, sigma, has_shift,
 
             z_t = _mv(D, w_t)                          # (nc, chunk)
             w_new = alpha * w_t + (1.0 - alpha) * w
-            v = alpha * z_t + (1.0 - alpha) * z + y / rho[None, :]
-            z_new = _project_lanes(v, lb, ub, cones, sh) * m
-            y_new = y + (rho[None, :] * m) * (
+            # m carries the per-row rho scale; rows with m = 0 are
+            # padded (z, y invariantly zero there).
+            rho_m = rho[None, :] * m                   # (nc, chunk)
+            m01 = jnp.where(m > 0, 1.0, 0.0).astype(cdt)
+            v = alpha * z_t + (1.0 - alpha) * z + jnp.where(
+                m > 0, y / jnp.maximum(rho_m, 1e-30), 0.0)
+            z_new = _project_lanes(v, lb, ub, cones, sh) * m01
+            y_new = y + rho_m * (
                 alpha * z_t + (1.0 - alpha) * z - z_new
             )
             wn_ref[i] = w_new
@@ -319,7 +330,7 @@ def _admm_iter_kernel(nu, nx, nc, N, T, cones, alpha, sigma, has_shift,
             Hs = Hs_ref[i].astype(cdt)
             Dw_new = _mv(D, w_new)
             dw = w - w_t
-            zt_term = rho[None, :] * (
+            zt_term = rho_m * (
                 (alpha - 1.0) * (z_t - z) + (z - z_new)
             )
             # (1-a) H dw + sigma dw with H = Hs - sigma I
@@ -400,15 +411,29 @@ def fits_vmem(N, nx, nu, nc, has_shift=False, storage_dtype=None,
     return (2 * words + temp) * 128 * c_item <= _BUDGET
 
 
+def admm_chunk(Bt, N, nx, nu, nc, has_shift=False, storage_dtype=None,
+               compute_dtype=jnp.float32) -> int:
+    """Lane chunk admm_iter_lanes picks for batch Bt — shared-stage
+    problem streams must be replicated to (a multiple of) this width
+    (solvers/admm.solve_fused handles it in shared mode)."""
+    c_item = jnp.dtype(compute_dtype).itemsize
+    s_item = jnp.dtype(storage_dtype or compute_dtype).itemsize
+    words, temp = _vmem_words(N, nx, nu, nc, has_shift, s_item, c_item)
+    return _pick_chunk(Bt, words, temp, c_item, budget=_BUDGET)
+
+
 def admm_iter_lanes(A, B, c, Hs, h, D, lb, ub, mask, shift, w, z, y, rho,
                     PN, pN, x0, *, nu, cones, alpha, sigma,
-                    factors=None, interpret=False):
+                    factors=None, shared=False, interpret=False):
     """One fused conic ADMM iteration over stages 0..N-1, batch-in-lanes.
 
     Stage tensors (lanes layout, stage-major):
       A (N,nx,nx,B), B (N,nx,nu,B), c (N,nx,B), Hs (N,nz,nz,B)
       [sigma-folded H], h (N,nz,B) [raw], D (N,nc,nz,B),
-      lb/ub/mask (N,nc,B), shift (N,nc,B) or None,
+      lb/ub (N,nc,B), mask (N,nc,B) the per-row RHO SCALE (0 on
+      padded rows, rho_eq_boost on equality rows, 1 elsewhere — the
+      kernel derives the binary projection mask as m > 0),
+      shift (N,nc,B) or None,
       w (N,nz,B) / z,y (N,nc,B) current iterates, rho (1,B) per-instance
       penalty, PN/pN the iterate-folded terminal cost-to-go, x0 (nx,B).
 
@@ -427,11 +452,21 @@ def admm_iter_lanes(A, B, c, Hs, h, D, lb, ub, mask, shift, w, z, y, rho,
     valid while rho and the problem matrices are unchanged since
     export.
 
+    ``shared=True`` is the broadcast (shared-stage) mode: the problem
+    streams (A, B, Hs, h, D, lb, ub, mask, shift) carry ONE replicated
+    lane chunk (width a multiple of admm_chunk(B, ...)) pinned to lane
+    block 0, while the per-instance tensors (c, iterates, rho, PN, pN,
+    x0, outputs) run the full batch — one shared model serving B
+    scenarios streams its stage data from HBM once per chunk instead
+    of B times.  The per-lane penalty fold works unchanged: rho is a
+    per-lane scalar against the replicated D rows.
+
     Returns (w_new, z_new, y_new, xN, res) with res (4, B) rows
     [r_prim, r_dual, prim_scale, dual_scale] maxima over stages 0..N-1
     (the caller folds in the terminal stage).
     """
-    N, nx, _, Bt = A.shape
+    N, nx = A.shape[0], A.shape[1]
+    Bt = w.shape[-1]
     nz = nx + nu
     nc = D.shape[1]
     if nc == 0:
@@ -439,6 +474,11 @@ def admm_iter_lanes(A, B, c, Hs, h, D, lb, ub, mask, shift, w, z, y, rho,
     dt = w.dtype          # compute/carry dtype (iterates, outputs)
     has_shift = shift is not None
     cached = factors is not None
+    if shared and cached:
+        raise ValueError(
+            "shared-stage mode is incompatible with cached factors "
+            "(per-instance rho makes the factors per-instance)"
+        )
 
     # Streamed words/lane (double-buffered by the pipeline) and live
     # scratch: the (K, d) spill dominates and scales with N; stage
@@ -460,29 +500,42 @@ def admm_iter_lanes(A, B, c, Hs, h, D, lb, ub, mask, shift, w, z, y, rho,
     T = _pick_stages(N, words, temp, chunk, jnp.dtype(dt).itemsize)
     NT = N // T
 
-    def both(*dims):
-        return pl.BlockSpec(
-            (T,) + dims[:-1] + (chunk,),
-            lambda b, t: (jnp.where(t < NT, NT - 1 - t, t - NT),)
-            + (0,) * (len(dims) - 1) + (b,),
-            memory_space=pltpu.VMEM,
-        )
+    if shared:
+        A = _shared_slice("A", A, chunk)
+        B = _shared_slice("B", B, chunk)
+        Hs = _shared_slice("Hs", Hs, chunk)
+        h = _shared_slice("h", h, chunk)
+        D = _shared_slice("D", D, chunk)
+        lb = _shared_slice("lb", lb, chunk)
+        ub = _shared_slice("ub", ub, chunk)
+        mask = _shared_slice("mask", mask, chunk)
+        if has_shift:
+            shift = _shared_slice("shift", shift, chunk)
 
-    def ph1(*dims):
-        return pl.BlockSpec(
-            (T,) + dims[:-1] + (chunk,),
-            lambda b, t: (jnp.where(t < NT, NT - 1 - t, NT - 1),)
-            + (0,) * (len(dims) - 1) + (b,),
-            memory_space=pltpu.VMEM,
-        )
+    # Stage-stream specs: time window per phase (both phases / phase-1
+    # pinned / phase-2 pinned), lane block b — or 0 for the replicated
+    # shared-stage streams (the pinned-lane-block broadcast trick).
+    t_both = lambda t: jnp.where(t < NT, NT - 1 - t, t - NT)
+    t_ph1 = lambda t: jnp.where(t < NT, NT - 1 - t, NT - 1)
+    t_ph2 = lambda t: jnp.where(t < NT, 0, t - NT)
 
-    def ph2(*dims):
-        return pl.BlockSpec(
-            (T,) + dims[:-1] + (chunk,),
-            lambda b, t: (jnp.where(t < NT, 0, t - NT),)
-            + (0,) * (len(dims) - 1) + (b,),
-            memory_space=pltpu.VMEM,
-        )
+    def _mk(tfn, pin):
+        def spec(*dims):
+            nd = len(dims) - 1
+            if pin:
+                idx = lambda b, t: (tfn(t),) + (0,) * nd + (0,)
+            else:
+                idx = lambda b, t: (tfn(t),) + (0,) * nd + (b,)
+            return pl.BlockSpec((T,) + dims[:-1] + (chunk,), idx,
+                                memory_space=pltpu.VMEM)
+        return spec
+
+    both = _mk(t_both, False)
+    ph1 = _mk(t_ph1, False)
+    ph2 = _mk(t_ph2, False)
+    both_s = _mk(t_both, shared)
+    ph1_s = _mk(t_ph1, shared)
+    ph2_s = _mk(t_ph2, shared)
 
     def whole(*dims):
         return pl.BlockSpec(
@@ -495,18 +548,20 @@ def admm_iter_lanes(A, B, c, Hs, h, D, lb, ub, mask, shift, w, z, y, rho,
         whole(1, Bt),                       # rho
         whole(nx, nx, Bt), whole(nx, Bt),   # PN pN
         whole(nx, Bt),                      # x0
-        both(nx, nx, Bt), both(nx, nu, Bt), both(nx, Bt),   # A B c
+        both_s(nx, nx, Bt), both_s(nx, nu, Bt), both(nx, Bt),  # A B c
         # Hs only feeds phase 2 residuals in cached mode (the matrix
         # fold is baked into the factors), so its phase-1 window pins
         # to block 0 and costs one DMA instead of N/T.
-        ph2(nz, nz, Bt) if cached else both(nz, nz, Bt),    # Hs
-        ph1(nz, Bt),                        # h
-        both(nc, nz, Bt),                   # D
-        ph2(nc, Bt), ph2(nc, Bt), ph2(nc, Bt),              # lb ub mask
+        ph2_s(nz, nz, Bt) if cached else both_s(nz, nz, Bt),   # Hs
+        ph1_s(nz, Bt),                      # h
+        both_s(nc, nz, Bt),                 # D
+        # mask carries the per-row rho scale and feeds the phase-1
+        # penalty fold too, so it streams in both phases.
+        ph2_s(nc, Bt), ph2_s(nc, Bt), both_s(nc, Bt),          # lb ub mask
     ]
     args = [rho, PN, pN, x0, A, B, c, Hs, h, D, lb, ub, mask]
     if has_shift:
-        in_specs.append(ph2(nc, Bt))
+        in_specs.append(ph2_s(nc, Bt))
         args.append(shift)
     if cached:
         Pf, Lf, Kf = factors

@@ -345,13 +345,18 @@ def _backward_kernel(nu, nx, nc, export, emit_mv, T,
 
 # -------------------------------------------------- PDP segment kernel
 
-def _backward_pdp_kernel(nu, nx, nc,
+def _backward_pdp_kernel(nu, nx, nc, export,
                          A_ref, B_ref, c_ref, H_ref, h_ref, D_ref,
                          rho_ref, rg_ref, Pi_ref, pi_ref, Fi_ref,
                          Ci_ref, fi_ref,
-                         K_ref, d_ref, M_ref, v_ref, G_ref,
-                         P0_ref, p0_ref, F0_ref, C0_ref, f0_ref,
-                         P_scr, p_scr, F_scr, C_scr, f_scr):
+                         K_ref, d_ref, M_ref, v_ref, G_ref, *rest):
+    if export:
+        (P_ref, L_ref, F_ref,
+         P0_ref, p0_ref, F0_ref, C0_ref, f0_ref,
+         P_scr, p_scr, F_scr, C_scr, f_scr) = rest
+    else:
+        (P0_ref, p0_ref, F0_ref, C0_ref, f0_ref,
+         P_scr, p_scr, F_scr, C_scr, f_scr) = rest
     """Backward sweep + PDP segment-coupling propagation, P-form.
 
     Reference math: ParallelLQRKernel::step_with_factorization
@@ -367,6 +372,12 @@ def _backward_pdp_kernel(nu, nx, nc,
     Per-segment boundary exports (P0, p0, F0, C0, f0 — the reference's
     update_segment_data payload, lqr_solver_parallel.hpp:182-187) are
     written on the final (stage-0) grid step of each lane chunk.
+
+    ``export`` additionally writes the per-stage iterate-independent
+    factors (P_{k+1}, chol(Huu), F_{k+1}) consumed by the cached-factor
+    segment vector sweep (_backward_pdp_vec_kernel) — the parallel
+    solver's with/without-factorization split
+    (lqr_solver_parallel.hpp:148-154,190-211).
     """
     t = pl.program_id(1)
     n_time = pl.num_programs(1)
@@ -442,6 +453,16 @@ def _backward_pdp_kernel(nu, nx, nc,
     M_ref[0] = Mcl
     v_ref[0] = vcl
     G_ref[0] = Gp
+    if export:
+        P_ref[0] = P
+        F_ref[0] = F
+        L_ref[0] = jnp.stack([
+            jnp.stack([
+                L[li][lj] if lj <= li else jnp.zeros_like(P[0, 0])
+                for lj in range(nu)
+            ], axis=0)
+            for li in range(nu)
+        ], axis=0)
     P_scr[:] = Pn
     p_scr[:] = pn
     F_scr[:] = Fn
@@ -458,7 +479,7 @@ def _backward_pdp_kernel(nu, nx, nc,
 
 
 def backward_pdp_lanes(A, B, c, H, h, D, rho, rg, Pi, pi, Fi, Ci, fi, *,
-                       interpret=False):
+                       interpret=False, export_factors=False):
     """Fused PDP segment reduction; all arrays batch-last.
 
     Stage arrays as in ``backward_lanes``; (Pi, pi, Fi, Ci, fi) are the
@@ -467,7 +488,12 @@ def backward_pdp_lanes(A, B, c, H, h, D, rho, rg, Pi, pi, Fi, Ci, fi, *,
     non-last segments pass P=0, p=0, F=I, C=0, f=0
     (lqr_kernel_parallel.hpp:51-67 in P-form).
 
-    Returns (K, d, M, v, Gp, P0, p0, F0, C0, f0).
+    Returns (K, d, M, v, Gp, P0, p0, F0, C0, f0); with
+    ``export_factors`` additionally (P, L, F) — the per-stage
+    P_{k+1}, chol(Huu), F_{k+1} consumed by
+    backward_pdp_vectors_lanes while rho is unchanged (the parallel
+    solver's with/without-factorization split,
+    lqr_solver_parallel.hpp:148-154,190-211).
     """
     N, nx, _, Bt = A.shape
     nu = B.shape[2]
@@ -483,7 +509,8 @@ def backward_pdp_lanes(A, B, c, H, h, D, rho, rg, Pi, pi, Fi, Ci, fi, *,
     ncp = max(nc, 1)
     words = (nx * nx + nx * nu + nx + nz * nz + nz + ncp * nz + 2 * ncp
              + 2 * (nu * nx) + nu + nx * nx + nx
-             + 5 * (3 * nx * nx + 2 * nx))
+             + 5 * (3 * nx * nx + 2 * nx)
+             + (2 * nx * nx + nu * nu if export_factors else 0))
     chunk = _pick_chunk(Bt, words, 16 * nz * nz, jnp.dtype(dt).itemsize)
     n_chunks = Bt // chunk
 
@@ -498,7 +525,8 @@ def backward_pdp_lanes(A, B, c, H, h, D, rho, rg, Pi, pi, Fi, Ci, fi, *,
         memory_space=pltpu.VMEM,
     )
 
-    kernel = functools.partial(_backward_pdp_kernel, nu, nx, nc)
+    kernel = functools.partial(_backward_pdp_kernel, nu, nx, nc,
+                               export_factors)
     mat = lambda: jax.ShapeDtypeStruct((nx, nx, Bt), dt)
     vec = lambda: jax.ShapeDtypeStruct((nx, Bt), dt)
     out_shape = (
@@ -507,7 +535,24 @@ def backward_pdp_lanes(A, B, c, H, h, D, rho, rg, Pi, pi, Fi, Ci, fi, *,
         jax.ShapeDtypeStruct((N, nx, nx, Bt), dt),   # M
         jax.ShapeDtypeStruct((N, nx, Bt), dt),       # v
         jax.ShapeDtypeStruct((N, nu, nx, Bt), dt),   # Gp
-        mat(), vec(), mat(), mat(), vec(),           # P0 p0 F0 C0 f0
+    )
+    out_specs = (
+        stage(nu, nx, Bt), stage(nu, Bt),
+        stage(nx, nx, Bt), stage(nx, Bt), stage(nu, nx, Bt),
+    )
+    if export_factors:
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((N, nx, nx, Bt), dt),   # P_{k+1}
+            jax.ShapeDtypeStruct((N, nu, nu, Bt), dt),   # chol(Huu)
+            jax.ShapeDtypeStruct((N, nx, nx, Bt), dt),   # F_{k+1}
+        )
+        out_specs = out_specs + (
+            stage(nx, nx, Bt), stage(nu, nu, Bt), stage(nx, nx, Bt),
+        )
+    out_shape = out_shape + (mat(), vec(), mat(), mat(), vec())
+    out_specs = out_specs + (
+        whole(nx, nx, Bt), whole(nx, Bt), whole(nx, nx, Bt),
+        whole(nx, nx, Bt), whole(nx, Bt),
     )
     return pl.pallas_call(
         kernel,
@@ -519,12 +564,7 @@ def backward_pdp_lanes(A, B, c, H, h, D, rho, rg, Pi, pi, Fi, Ci, fi, *,
             whole(nx, nx, Bt), whole(nx, Bt), whole(nx, nx, Bt),
             whole(nx, nx, Bt), whole(nx, Bt),
         ],
-        out_specs=(
-            stage(nu, nx, Bt), stage(nu, Bt),
-            stage(nx, nx, Bt), stage(nx, Bt), stage(nu, nx, Bt),
-            whole(nx, nx, Bt), whole(nx, Bt), whole(nx, nx, Bt),
-            whole(nx, nx, Bt), whole(nx, Bt),
-        ),
+        out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((nx, nx, chunk), dt), pltpu.VMEM((nx, chunk), dt),
@@ -534,6 +574,133 @@ def backward_pdp_lanes(A, B, c, H, h, D, rho, rg, Pi, pi, Fi, Ci, fi, *,
         compiler_params=_compiler_params(interpret),
         interpret=interpret,
     )(A, B, c, H, h, D, rho, rg, Pi, pi, Fi, Ci, fi)
+
+
+def _backward_pdp_vec_kernel(nu, nx, T,
+                             A_ref, B_ref, c_ref, hf_ref, P_ref, K_ref,
+                             L_ref, F_ref, pi_ref,
+                             d_ref, v_ref, p0_ref, f0_ref,
+                             p_scr, f_scr):
+    """Vector-only PDP segment sweep on cached factors.
+
+    The parallel solver's ``backward_without_factorization``
+    (lqr_solver_parallel.hpp:190-211): while rho is unchanged, the
+    segment matrices (P, chol(Huu), K, M, F, C, Gp) are
+    iterate-independent; only the affine recursion moves.  Per stage
+    (P = P_{k+1}, F = F_{k+1} from backward_pdp_lanes export):
+
+      Pcp  = P c + p
+      rbar = hf[:nu] + B^T Pcp
+      d    = -(L L^T)^{-1} rbar
+      v    = B d + c
+      p    = hf[nu:] + A^T Pcp + K^T rbar      (carry)
+      f    = F v + f                            (segment offset carry)
+
+    Boundary vectors (p0, f0) — the vector half of the
+    update_segment_data payload — are exported on the final grid step;
+    the C/P/F matrix half is cached with the condensed factorization.
+    """
+    t = pl.program_id(1)
+    n_time = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _():
+        p_scr[:] = pi_ref[:]
+        f_scr[:] = jnp.zeros_like(f_scr)
+
+    p = p_scr[:]
+    f = f_scr[:]
+    for i in range(T - 1, -1, -1):
+        A = A_ref[i]
+        Bm = B_ref[i]
+        c = c_ref[i]
+        hf = hf_ref[i]
+        P = P_ref[i]
+        K = K_ref[i]
+        Lt = L_ref[i]
+        F = F_ref[i]
+        L = [[Lt[li, lj] if lj <= li else None for lj in range(nu)]
+             for li in range(nu)]
+
+        Pcp = _mv(P, c) + p
+        rbar = hf[:nu] + _mtv(Bm, Pcp)
+        d = -jnp.stack(
+            _chol_solve_lanes(L, [rbar[ri] for ri in range(nu)]), axis=0
+        )
+        v = _mv(Bm, d) + c
+        d_ref[i] = d
+        v_ref[i] = v
+        p = hf[nu:] + _mtv(A, Pcp) + _mtv(K, rbar)
+        f = _mv(F, v) + f
+    p_scr[:] = p
+    f_scr[:] = f
+
+    @pl.when(t == n_time - 1)
+    def _():
+        p0_ref[:] = p
+        f0_ref[:] = f
+
+
+def backward_pdp_vectors_lanes(A, B, c, hf, P, K, L, F, pi, *,
+                               interpret=False):
+    """Cached-factor PDP segment vector sweep.
+
+    (P, K, L, F) from backward_pdp_lanes(export_factors=True); hf the
+    fully iterate-folded linear cost (h - sigma w - D^T rho g); pi the
+    iterate-folded terminal linear cost (zeros on non-last segments).
+    Returns (d (N,nu,B), v (N,nx,B), p0 (nx,B), f0 (nx,B)).
+    """
+    N = A.shape[0]
+    nx = A.shape[1]
+    nu = B.shape[2]
+    Bt = c.shape[-1]
+    nz = nx + nu
+    dt = P.dtype
+
+    words = (_vec_sweep_words(nx, nu, nz)
+             + nx * nx + nx * nx + nx)    # + F stream, f carry, v out
+    chunk = _pick_chunk(Bt, words, 8 * nx * nx, jnp.dtype(dt).itemsize)
+    n_chunks = Bt // chunk
+    T = _pick_stages(N, words, 8 * nx * nx, chunk,
+                     jnp.dtype(dt).itemsize)
+
+    stage = lambda *dims: pl.BlockSpec(
+        (T,) + dims[:-1] + (chunk,),
+        lambda b, t: (N // T - 1 - t,) + (0,) * (len(dims) - 1) + (b,),
+        memory_space=pltpu.VMEM,
+    )
+    whole = lambda *dims: pl.BlockSpec(
+        dims[:-1] + (chunk,),
+        lambda b, t: (0,) * (len(dims) - 1) + (b,),
+        memory_space=pltpu.VMEM,
+    )
+
+    kernel = functools.partial(_backward_pdp_vec_kernel, nu, nx, T)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_chunks, N // T),
+        in_specs=[
+            stage(nx, nx, Bt), stage(nx, nu, Bt), stage(nx, Bt),
+            stage(nz, Bt),
+            stage(nx, nx, Bt), stage(nu, nx, Bt), stage(nu, nu, Bt),
+            stage(nx, nx, Bt),
+            whole(nx, Bt),
+        ],
+        out_specs=(
+            stage(nu, Bt), stage(nx, Bt),
+            whole(nx, Bt), whole(nx, Bt),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, nu, Bt), dt),
+            jax.ShapeDtypeStruct((N, nx, Bt), dt),
+            jax.ShapeDtypeStruct((nx, Bt), dt),
+            jax.ShapeDtypeStruct((nx, Bt), dt),
+        ),
+        scratch_shapes=[pltpu.VMEM((nx, chunk), dt),
+                        pltpu.VMEM((nx, chunk), dt)],
+        compiler_params=_compiler_params(interpret),
+        interpret=interpret,
+    )(A, B, c, hf, P, K, L, F, pi)
 
 
 LANE_CHUNK = 512        # max lanes per grid step
@@ -775,9 +942,35 @@ def _vec_sweep_words(nx, nu, nz):
 
 def vector_sweep_chunk(Bt, nx, nu, dtype) -> int:
     """Lane chunk the vector-sweep kernel picks for batch Bt —
-    shared-stage tensors must be replicated to exactly this width."""
+    shared-stage tensors must be replicated to (a multiple of) this
+    width (prepare_shared handles it)."""
     return _pick_chunk(Bt, _vec_sweep_words(nx, nu, nx + nu),
                        8 * nx * nx, jnp.dtype(dtype).itemsize)
+
+
+def forward_chunk(Bt, nx, nu, dtype) -> int:
+    """Lane chunk forward_lanes picks for batch Bt (see
+    vector_sweep_chunk; shared (M, K) streams must cover it)."""
+    nz = nx + nu
+    words = 2 * (nx * nx + nx) + nu * nx + nu + nz + nx
+    return _pick_chunk(Bt, words, 4 * nx * nx, jnp.dtype(dtype).itemsize)
+
+
+def _shared_slice(name, x, chunk):
+    """Validate + trim a replicated shared-stage tensor to the kernel's
+    lane chunk.  The pinned-block trick reads lane block 0 for every
+    batch chunk, so the shared array only needs ``chunk`` (replicated)
+    lanes; prepare_shared replicates to the widest consumer, and each
+    kernel slices down to its own width here."""
+    W = x.shape[-1]
+    if W < chunk or W % chunk:
+        raise ValueError(
+            f"shared-stage tensor {name} must have lane width a "
+            f"multiple of the kernel lane chunk ({chunk}); got {W} "
+            f"(replicate via prepare_shared / vector_sweep_chunk / "
+            f"forward_chunk)"
+        )
+    return x[..., :chunk] if W != chunk else x
 
 
 def backward_vectors_lanes(A, B, c, hf, P, K, L, pN, *, interpret=False,
@@ -814,12 +1007,12 @@ def backward_vectors_lanes(A, B, c, hf, P, K, L, pN, *, interpret=False,
 
     words = _vec_sweep_words(nx, nu, nz)
     chunk = _pick_chunk(Bt, words, 8 * nx * nx, jnp.dtype(dt).itemsize)
-    if shared and A.shape[-1] != chunk:
-        raise ValueError(
-            f"shared-stage tensors must be replicated to the lane chunk "
-            f"({chunk}); got lane dim {A.shape[-1]} "
-            f"(use vector_sweep_chunk)"
-        )
+    if shared:
+        A = _shared_slice("A", A, chunk)
+        B = _shared_slice("B", B, chunk)
+        P = _shared_slice("P", P, chunk)
+        K = _shared_slice("K", K, chunk)
+        L = _shared_slice("L", L, chunk)
     n_chunks = Bt // chunk
     T = _pick_stages(N, words, 8 * nx * nx, chunk,
                      jnp.dtype(dt).itemsize)
@@ -889,15 +1082,26 @@ def _forward_kernel(nu, nx, T,
         xN_ref[:] = x
 
 
-def forward_lanes(M, v, K, d, x0, *, interpret=False):
-    """Closed-loop rollout; returns (ws (N, nz, B), xN (nx, B))."""
-    N, nx, _, Bt = M.shape
+def forward_lanes(M, v, K, d, x0, *, interpret=False, shared=False):
+    """Closed-loop rollout; returns (ws (N, nz, B), xN (nx, B)).
+
+    ``shared=True`` is the broadcast (shared-stage) mode: the matrix
+    streams (M, K) carry ONE replicated lane chunk (lane width a
+    multiple of forward_chunk(B, ...)) pinned to lane block 0, while
+    the per-instance vectors (v, d, x0, ws) run the full batch — one
+    shared model serving B scenarios streams its closed-loop maps from
+    HBM once per chunk instead of B times."""
+    N, nx = M.shape[0], M.shape[1]
     nu = K.shape[1]
+    Bt = v.shape[-1]
     nz = nx + nu
     dt = M.dtype
 
     words = 2 * (nx * nx + nx) + nu * nx + nu + nz + nx
     chunk = _pick_chunk(Bt, words, 4 * nx * nx, jnp.dtype(dt).itemsize)
+    if shared:
+        M = _shared_slice("M", M, chunk)
+        K = _shared_slice("K", K, chunk)
     n_chunks = Bt // chunk
     T = _pick_stages(N, words, 4 * nx * nx, chunk,
                      jnp.dtype(dt).itemsize)
@@ -907,6 +1111,11 @@ def forward_lanes(M, v, K, d, x0, *, interpret=False):
         lambda b, t: (t,) + (0,) * (len(dims) - 1) + (b,),
         memory_space=pltpu.VMEM,
     )
+    stage_sh = (lambda *dims: pl.BlockSpec(
+        (T,) + dims[:-1] + (chunk,),
+        lambda b, t: (t,) + (0,) * (len(dims) - 1) + (0,),
+        memory_space=pltpu.VMEM,
+    )) if shared else stage
     whole = lambda *dims: pl.BlockSpec(
         dims[:-1] + (chunk,),
         lambda b, t: (0,) * (len(dims) - 1) + (b,),
@@ -918,8 +1127,8 @@ def forward_lanes(M, v, K, d, x0, *, interpret=False):
         kernel,
         grid=(n_chunks, N // T),
         in_specs=[
-            stage(nx, nx, Bt), stage(nx, Bt),
-            stage(nu, nx, Bt), stage(nu, Bt),
+            stage_sh(nx, nx, Bt), stage(nx, Bt),
+            stage_sh(nu, nx, Bt), stage(nu, Bt),
             whole(nx, Bt),
         ],
         out_specs=(stage(nz, Bt), whole(nx, Bt)),
@@ -1102,3 +1311,145 @@ def solve_lanes(problem, it, x0, sigma: float, *, storage_dtype=None,
     """
     prep = prepare_lanes(problem, it, x0, sigma, storage_dtype)
     return solve_prepared(prep, interpret=interpret)
+
+
+# ------------------------------------------------- shared-stage (broadcast)
+
+def shared_width(Bt: int, nx: int, nu: int, dtype) -> int:
+    """Replication width for shared-stage tensors: wide enough for
+    every consumer kernel's lane chunk (each slices down to its own —
+    chunks are powers of two, so the max covers all)."""
+    return max(vector_sweep_chunk(Bt, nx, nu, dtype),
+               forward_chunk(Bt, nx, nu, dtype))
+
+
+def prepare_shared(problem, it, x0, sigma: float):
+    """Broadcast-mode preparation: ONE shared model, B scenarios.
+
+    The reference holds exactly one ``LQRModel`` per process behind all
+    solvers (lqr_model.hpp:66-89); a scenario batch against it should
+    never pay B HBM copies of the stage matrices.  This is the lanes
+    preparation for that case:
+
+      * ``problem`` is UNBATCHED — except ``c``, which may carry a
+        leading batch axis (B, N, nx) for per-scenario drift (the
+        bench/MPC scenario pattern);
+      * ``it.rho`` must be UNBATCHED (N+1, nc): the penalty-folded
+        matrices are shared only while rho is; w/y/z may be unbatched
+        or batched (B, N+1, ...);
+      * ``x0`` (B, nx) sets the scenario batch size.
+
+    The stage matrices (A, B, H~, D, rho) are replicated to ONE lane
+    chunk (``shared_width`` lanes) instead of B copies — the
+    (B, N, nz, nz) blow-up of prepare_lanes (23.5 GB for mass-spring
+    nz=50 at B=4096) shrinks by ~B/W.  Returns the argument tuple for
+    ``solve_shared_prepared``.
+    """
+    nu, nx, nc = problem.nu, problem.nx, problem.nc
+    nz = nu + nx
+    N = problem.N
+    dt = problem.H.dtype
+    if problem.A.ndim != 3:
+        raise ValueError(
+            "prepare_shared takes an UNBATCHED problem (one shared "
+            "model); use prepare_lanes for per-instance models"
+        )
+    rho = it.rho
+    if rho.ndim != 2:
+        raise ValueError(
+            "prepare_shared needs a shared (unbatched) rho (N+1, nc): "
+            "the folded stage matrices are shared only while the "
+            "penalty is"
+        )
+    x0 = jnp.asarray(x0)
+    Bt = x0.shape[0]
+    W = min(Bt, shared_width(Bt, nx, nu, dt))
+
+    rep = lambda x: jnp.broadcast_to(x[..., None], x.shape + (W,))
+    eye_z = jnp.eye(nz, dtype=dt)
+    A_sh = rep(problem.A)
+    B_sh = rep(problem.B)
+    H_sh = rep(problem.H[:-1] + sigma * eye_z)
+    D_sh = rep(problem.D[:-1])
+    rho_sh = rep(rho[:-1])
+
+    # Terminal matrix fold (shared): P_N = Hxx + sigma I + Dx^T rho Dx.
+    PN = problem.H[-1, nu:, nu:] + sigma * jnp.eye(nx, dtype=dt)
+    if nc > 0:
+        DNx = problem.D[-1, :, nu:]
+        PN = PN + jnp.einsum("ci,c,cj->ij", DNx, rho[-1], DNx)
+    PN_sh = rep(PN)
+
+    # Per-instance vector pieces: fully iterate-folded linear cost
+    # hf = h - sigma w - D^T (rho g) (update_problem_data semantics,
+    # lqr_solver.hpp:41-56, with the penalty fold pre-applied — the
+    # matrix sweep runs on zero vectors, so the vector sweep carries
+    # the whole linear recursion).
+    bc = lambda x, tail: jnp.broadcast_to(x, (Bt,) + tail)
+    w_b = bc(it.w, (N + 1, nz))
+    hf = problem.h[None] - sigma * w_b
+    if nc > 0:
+        inv_rho = jnp.where(rho > 0, 1.0 / jnp.where(rho > 0, rho, 1.0),
+                            0.0)
+        g = bc(it.z, (N + 1, nc)) - inv_rho[None] * bc(it.y, (N + 1, nc))
+        hf = hf - jnp.einsum("kcz,bkc->bkz", problem.D, rho[None] * g)
+    c_b = problem.c if problem.c.ndim == 3 else bc(problem.c, (N, nx))
+    c_l = to_lanes(c_b.astype(dt))
+    hf_l = to_lanes(hf[:, :-1])
+    pN_l = jnp.moveaxis(hf[:, -1, nu:], 0, -1)   # (nx, B)
+    x0_l = jnp.moveaxis(x0.astype(dt), 0, -1)
+
+    return (A_sh, B_sh, H_sh, D_sh, rho_sh, PN_sh,
+            c_l, hf_l, pN_l, x0_l, nu)
+
+
+def solve_shared_prepared(prep, *, interpret=False):
+    """Run the shared-stage pipeline -> ws (B, N+1, nz).
+
+    Three kernels: (1) the matrix sweep — backward_lanes with factor
+    export on the ONE replicated chunk of shared stage data (the whole
+    rho-dependent Riccati matrix recursion, done once, not per
+    scenario); (2) the per-instance vector sweep on those factors
+    (backward_vectors_lanes(shared=True) — the reference's
+    backward_without_factorization split, lqr_kernel.hpp:149-178,
+    reused here because the affine terms are the only per-scenario
+    quantities); (3) the shared-map closed-loop rollout
+    (forward_lanes(shared=True)).
+    """
+    (A_sh, B_sh, H_sh, D_sh, rho_sh, PN_sh,
+     c_l, hf_l, pN_l, x0_l, nu) = prep
+    N, nx = A_sh.shape[0], A_sh.shape[1]
+    W = A_sh.shape[-1]
+    nz = H_sh.shape[1]
+    nc = D_sh.shape[1]
+    dt = A_sh.dtype
+
+    zc = jnp.zeros((N, nx, W), dt)
+    zh = jnp.zeros((N, nz, W), dt)
+    zrg = jnp.zeros((N, nc, W), dt)
+    zpN = jnp.zeros((nx, W), dt)
+    K, _, M, _, P, L = backward_lanes(
+        A_sh, B_sh, zc, H_sh, zh, D_sh, rho_sh, zrg, PN_sh, zpN,
+        interpret=interpret, export_factors=True,
+    )
+
+    d, v = backward_vectors_lanes(
+        A_sh, B_sh, c_l, hf_l, P, K, L, pN_l,
+        interpret=interpret, shared=True,
+    )
+    ws, xN = forward_lanes(M, v, K, d, x0_l, interpret=interpret,
+                           shared=True)
+
+    ws = from_lanes(ws)                          # (B, N, nz)
+    xN = jnp.moveaxis(xN, -1, 0)                 # (B, nx)
+    wN = jnp.concatenate(
+        [jnp.zeros(xN.shape[:-1] + (nu,), ws.dtype), xN], axis=-1
+    )
+    return jnp.concatenate([ws, wN[:, None, :]], axis=1)
+
+
+def solve_shared(problem, it, x0, sigma: float, *, interpret=False):
+    """Shared-model batched solve (see prepare_shared for the contract).
+    Returns ws (B, N+1, nz), matching solve_lanes on a broadcast batch."""
+    prep = prepare_shared(problem, it, x0, sigma)
+    return solve_shared_prepared(prep, interpret=interpret)
