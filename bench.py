@@ -83,9 +83,36 @@ def run_check(on_cpu: bool) -> int:
                   file=sys.stderr, flush=True)
             if not np.isfinite(err) or err > tol:
                 failures.append(f"{name}/{solver}: {err:.3e} > {tol}")
+        return ref, scale
+
+    def shared_case(name, base, c_b, x0, ref, scale, tol):
+        """Shared-stage (broadcast) pipeline vs the dense ref — the
+        pinned-lane-block kernels' hardware lowering."""
+        import dataclasses
+
+        from pdp_lqr_tpu.problem import init_iterates
+
+        its1 = init_iterates(base, rho=0.01)
+        t0 = time.perf_counter()
+        out = np.asarray(jax.jit(lambda cb, x: pallas_riccati.solve_shared(
+            dataclasses.replace(base, c=cb), its1, x, 1e-6,
+            interpret=on_cpu))(c_b, x0))
+        err = float(np.abs(out - ref).max() / scale)
+        results[f"{name}/pallas_shared"] = err
+        print(f"# {name}/pallas_shared: rel_err={err:.3e} "
+              f"(compile+run {time.perf_counter() - t0:.0f}s)",
+              file=sys.stderr, flush=True)
+        if not np.isfinite(err) or err > tol:
+            failures.append(f"{name}/pallas_shared: {err:.3e} > {tol}")
 
     problem, its, x0 = _quadrotor_batch(batch=128, N=64)
-    case("quadrotor_n64", problem, its, x0, tol=1e-4)
+    ref_q, scale_q = case("quadrotor_n64", problem, its, x0, tol=1e-4)
+
+    from pdp_lqr_tpu.models import quadrotor as _quad_model
+
+    base_q, _ = _quad_model(N=64, constrained=True, dtype=jnp.float32)
+    shared_case("quadrotor_n64", base_q, problem.c, x0, ref_q, scale_q,
+                tol=1e-4)
 
     import dataclasses
 
@@ -107,7 +134,11 @@ def run_check(on_cpu: bool) -> int:
     # assoc skipped at nx=40: the batched-LU combine tree sits in the
     # remote TPU compiler for >15 min (quadrotor covers assoc's
     # hardware lowering; dense/pallas are the large-state backends).
-    case("mass_spring_n48", mp, mits, mx0, tol=5e-4, skip=("assoc",))
+    ref_m, scale_m = case("mass_spring_n48", mp, mits, mx0, tol=5e-4,
+                          skip=("assoc",))
+    # Shared-stage at nz=50 — the OOM-motivating shape's lowering.
+    shared_case("mass_spring_n48", base, mp.c, mx0, ref_m, scale_m,
+                tol=5e-4)
 
     # Conic ADMM single- vs two-kernel ON DEVICE: cones + soc_shift
     # exercise the in-kernel projection (interpret-mode CPU cannot
@@ -174,6 +205,21 @@ def run_check(on_cpu: bool) -> int:
     if not np.isfinite(errf1) or errf1 > 1e-3:
         failures.append(f"conic_admm/cached_factors_1k: {errf1:.3e}")
 
+    # Shared-stage single-kernel ADMM (UNBATCHED model + batched x0;
+    # pinned-lane-block problem streams) vs the replicated two-kernel
+    # result — the broadcast-serving path's hardware lowering.
+    t0 = time.perf_counter()
+    wsk = np.asarray(jax.jit(lambda p, x: admm_mod.solve_fused(
+        p, x, tuple(cones), cst, soc_shift=shift, interpret=on_cpu,
+        single_kernel=True)[0])(cp, cx0))
+    errsh = float(np.abs(wsk - w2k).max() / max(1.0, np.abs(w2k).max()))
+    results["conic_admm/shared_1k"] = errsh
+    print(f"# conic_admm/shared_1k: rel_err={errsh:.3e} "
+          f"(compile+run {time.perf_counter() - t0:.0f}s)",
+          file=sys.stderr, flush=True)
+    if not np.isfinite(errsh) or errsh > 1e-3:
+        failures.append(f"conic_admm/shared_1k: {errsh:.3e}")
+
     worst = max(results.values())
     print(json.dumps({
         "metric": "on-device cross-backend parity (max rel err, f32, "
@@ -204,7 +250,15 @@ def run_admm_bench(args, on_cpu: bool, backend: str) -> int:
     N = args.horizon if args.horizon != 512 else 64   # short-horizon path
     K = args.admm
     problem, _ = quadrotor(N=N, constrained=True, dtype=jnp.float32)
-    bp = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), problem)
+    # Shared-stage broadcast mode: one model in HBM, B scenario
+    # iterates (single-kernel only; incompatible with cached factors).
+    shared = (not args.no_shared and args.single_kernel
+              and not args.cached)
+    if shared:
+        bp = problem
+    else:
+        bp = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape), problem)
     x0s = jnp.full((B, problem.nx), 0.03, jnp.float32)
     settings = admm.ADMMSettings(
         max_iter=K, rho_update_interval=25, rho=0.1,
@@ -225,6 +279,8 @@ def run_admm_bench(args, on_cpu: bool, backend: str) -> int:
     dt = time.perf_counter() - t0
     solves_per_s = B * args.iters / dt
     label = "single-kernel" if args.single_kernel else "two-kernel"
+    if shared:
+        label += "+shared"
     if storage_dt is not None:
         label += "+bf16"
     if args.cached:
@@ -254,6 +310,14 @@ def main():
                     help="pallas only: keep stage data lanes-resident "
                          "(one-time layout prep excluded, as in ADMM/MPC "
                          "steady state)")
+    ap.add_argument("--no-shared", action="store_true",
+                    help="pallas only: force the replicated (per-"
+                         "instance stage data) path.  By default the "
+                         "bench workload — one model, B scenarios — "
+                         "runs the shared-stage broadcast mode "
+                         "(matrices in HBM once, not B times), which "
+                         "is both faster and the only way large-state "
+                         "models fit at B >= 1024")
     ap.add_argument("--check", action="store_true",
                     help="run the on-device cross-backend parity gate "
                          "instead of the throughput bench")
@@ -286,61 +350,98 @@ def main():
     # the 16 GB edge (transient double-residency during prepare).
     # Large-state models default lower: mass-spring H alone is
     # (B, 513, 50, 50) = 23.5 GB at B=4096.
+    shared_intent = (not args.no_shared and not args.bf16
+                     and args.solver in ("auto", "pallas"))
     if args.batch is not None:
         B = args.batch
     elif on_cpu:
         B = 32
     elif args.model != "quadrotor":
-        # nz=50 mass-spring at B=1024 overflows HBM by ~200 MB (both
-        # layouts + temps inside one program); 512 leaves headroom.
-        B = 512 if args.model == "mass_spring" else 1024
+        # Replicated path: nz=50 mass-spring at B=1024 overflows HBM by
+        # ~200 MB (both layouts + temps inside one program).  The
+        # shared-stage default holds ONE copy of the stage matrices, so
+        # the batch cap is set by the per-instance vectors instead.
+        if args.model == "mass_spring":
+            B = 2048 if shared_intent else 512
+        else:
+            B = 4096 if shared_intent else 1024
     else:
         B = 2048 if args.resident else 4096
     N = args.horizon
 
+    import dataclasses
+
+    import numpy as np
+
+    from pdp_lqr_tpu.problem import init_iterates
+
     if args.model == "quadrotor":
-        from __graft_entry__ import _quadrotor_batch
+        from pdp_lqr_tpu.models import quadrotor
 
-        problem, its, x0 = _quadrotor_batch(batch=B, N=N)
+        base, _ = quadrotor(N=N, constrained=True, dtype=jnp.float32)
+        c_scale = 0.01
         dims = "nx=12, nu=4"
-    else:
-        import dataclasses
+    elif args.model == "mass_spring":
+        from pdp_lqr_tpu.models import mass_spring_chain
 
-        import numpy as np
-
-        from pdp_lqr_tpu.problem import init_iterates
-
-        if args.model == "mass_spring":
-            from pdp_lqr_tpu.models import mass_spring_chain
-
-            base = mass_spring_chain(n_masses=20, N=N, dtype=jnp.float32)
-        else:
-            from pdp_lqr_tpu.models import centroidal
-
-            base, _ = centroidal(N=N, dtype=jnp.float32)
-        rng = np.random.default_rng(0)
-        tile = lambda x: jnp.broadcast_to(x, (B,) + x.shape)
-        problem = jax.tree.map(tile, base)
-        problem = dataclasses.replace(
-            problem,
-            c=problem.c + jnp.asarray(
-                rng.normal(size=problem.c.shape) * 0.001, jnp.float32
-            ),
-        )
-        its = jax.vmap(lambda p: init_iterates(p, rho=0.01))(problem)
-        x0 = jnp.asarray(
-            rng.normal(size=(B, base.nx)).astype(np.float32) * 0.1
-        )
+        base = mass_spring_chain(n_masses=20, N=N, dtype=jnp.float32)
+        c_scale = 0.001
         dims = f"nx={base.nx}, nu={base.nu}"
+    else:
+        from pdp_lqr_tpu.models import centroidal
+
+        base, _ = centroidal(N=N, dtype=jnp.float32)
+        c_scale = 0.001
+        dims = f"nx={base.nx}, nu={base.nu}"
+
+    rng = np.random.default_rng(0)
+    c_b = base.c[None] + jnp.asarray(
+        rng.normal(size=(B,) + base.c.shape) * c_scale, jnp.float32
+    )
+    x0 = jnp.asarray(rng.normal(size=(B, base.nx)).astype(np.float32) * 0.1)
 
     solver_name = args.solver
     if solver_name == "auto":
         # Fused Pallas kernels need lane-aligned batches on hardware.
         solver_name = "pallas" if (not on_cpu and B % 128 == 0) else "dense"
 
+    # The bench workload is ONE model serving B scenarios — the
+    # reference's ownership shape (a single LQRModel per process,
+    # lqr_model.hpp:66-89).  The shared-stage broadcast mode keeps the
+    # stage matrices in HBM once (one lane chunk) instead of B times;
+    # it is the pallas default (and the only way nz=50 mass-spring
+    # fits at B >= 1024).  --no-shared / --bf16 use the replicated
+    # per-instance path.
+    shared = (solver_name == "pallas" and not args.no_shared
+              and not args.bf16)
+    if not shared:
+        # Replicated batched pytrees for the per-instance backends.
+        tile = lambda x: jnp.broadcast_to(x, (B,) + x.shape)
+        problem = dataclasses.replace(jax.tree.map(tile, base), c=c_b)
+        its = jax.vmap(lambda p: init_iterates(p, rho=0.01))(problem)
+
     storage_dt = jnp.bfloat16 if args.bf16 else None
     step_args = None
-    if solver_name == "pallas" and args.resident:
+    if shared:
+        from pdp_lqr_tpu.ops import pallas_riccati
+
+        its1 = init_iterates(base, rho=0.01)
+        if args.resident:
+            prep0 = pallas_riccati.prepare_shared(
+                dataclasses.replace(base, c=c_b), its1, x0, 1e-6)
+            step_args = prep0
+
+            def step(*arrays):
+                return pallas_riccati.solve_shared_prepared(
+                    arrays, interpret=on_cpu)
+        else:
+            step_args = (base, c_b, its1, x0)
+
+            def step(base_p, c_b, its_p, x0):
+                sp = dataclasses.replace(base_p, c=c_b)
+                return pallas_riccati.solve_shared(
+                    sp, its_p, x0, 1e-6, interpret=on_cpu)
+    elif solver_name == "pallas" and args.resident:
         from pdp_lqr_tpu.ops import pallas_riccati
 
         prep0 = pallas_riccati.prepare_lanes(
@@ -418,7 +519,8 @@ def main():
     dt = time.perf_counter() - t0
 
     solves_per_s = B * args.iters / dt
-    label = solver_name + ("+resident" if args.resident else "") \
+    label = solver_name + ("+shared" if shared else "") \
+        + ("+resident" if args.resident else "") \
         + ("+bf16" if args.bf16 else "")
     if args.model != "quadrotor":
         label = f"{args.model}, {label}"

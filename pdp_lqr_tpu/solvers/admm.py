@@ -57,6 +57,11 @@ class ADMMSettings:
     eps_abs: float = 1e-6
     eps_rel: float = 1e-6
     exact_dual: bool = True       # OSQP 3.4 dual residual vs cheap proxy
+    rho_eq_boost: float = 1e3     # per-row rho: equality rows
+    #   (e_lb == e_ub, finite) run at rho * boost (OSQP 5.2's rho_eq)
+    #   — the rho_vecs interface the reference's inner step takes
+    #   (lqr_solver.hpp:15-22), driven for real by the outer loop.
+    #   1.0 disables.
     cached_factors: bool = False  # solve_fused (both paths): reuse
     #   the per-stage (P, chol(Huu), K, M) factors across iterations
     #   while rho is unchanged and run the vector-only backward sweep
@@ -181,6 +186,7 @@ def solve(
     settings: ADMMSettings = ADMMSettings(),
     state: Optional[ADMMState] = None,
     soc_shift=None,
+    residual_weights=None,
 ):
     """Solve the constrained conic LQ problem.
 
@@ -192,6 +198,10 @@ def solve(
     the per-stage constraint block; remaining rows are boxes.
     ``soc_shift`` ((N+1, nc) or None) adds an affine offset to cone
     rows: D_k w_k + shift_k in SOC (see projections.project_constraints).
+    ``residual_weights`` ((N+1, nc) prim, (N+1, nz) dual) reweight the
+    residual inf-norms — utils.scaling.residual_weights supplies the
+    weights that make termination act on UNSCALED residuals when the
+    problem was Ruiz-equilibrated (OSQP 5.2).
     """
     cones = tuple(cones)
     if problem.nc == 0:
@@ -215,6 +225,12 @@ def solve(
     alpha = settings.alpha
     dt = problem.H.dtype
     mask = _con_mask(problem, cones).astype(dt)
+    # Per-row rho (the reference's rho_vecs interface,
+    # lqr_solver.hpp:15-22): equality rows run at rho * rho_eq_boost.
+    eq = jnp.isfinite(problem.e_lb) & (problem.e_lb == problem.e_ub)
+    rscale = mask * jnp.where(eq, jnp.asarray(settings.rho_eq_boost, dt),
+                              jnp.asarray(1.0, dt))
+    pw, dwt = (None, None) if residual_weights is None else residual_weights
 
     if state is None:
         state = init_state(problem, settings)
@@ -223,7 +239,7 @@ def solve(
 
     def iteration(carry, factors, resolve: bool):
         w, z, y, rho, stats = carry
-        rho_vec = rho * mask
+        rho_vec = rho * rscale
         it = ADMMIterates(w=w, y=y, z=z, rho=rho_vec)
         if resolve:
             w_t, factors = be_resolve(problem, it, x0, sigma, factors)
@@ -232,7 +248,8 @@ def solve(
         z_t = Dw(w_t)
 
         w_new = alpha * w_t + (1.0 - alpha) * w
-        inv_rho = jnp.where(mask > 0, 1.0 / rho, 0.0)
+        inv_rho = jnp.where(
+            rscale > 0, 1.0 / jnp.maximum(rho_vec, 1e-30), 0.0)
         v = alpha * z_t + (1.0 - alpha) * z + inv_rho * y
         z_new = projections.project_constraints(
             v, problem.e_lb, problem.e_ub, cones, soc_shift
@@ -242,8 +259,12 @@ def solve(
         y_new = y + rho_vec * (alpha * z_t + (1.0 - alpha) * z - z_new)
 
         # Residuals (OSQP sec. 3.4): primal on the updated pair.
+        # With residual_weights these are the UNSCALED residuals of a
+        # Ruiz-equilibrated problem (E^{-1} r_prim, (c S)^{-1} r_dual).
+        wp_ = (lambda x: x * pw) if pw is not None else (lambda x: x)
+        wd_ = (lambda x: x * dwt) if dwt is not None else (lambda x: x)
         Dw_new = Dw(w_new)
-        r_prim = jnp.max(jnp.abs((Dw_new - z_new) * mask))
+        r_prim = jnp.max(jnp.abs(wp_((Dw_new - z_new) * mask)))
 
         DTv = lambda vc: jnp.einsum("kcz,kc->kz", problem.D, vc)
         if settings.exact_dual:
@@ -260,19 +281,20 @@ def solve(
                 (alpha - 1.0) * (z_t - z) + (z - z_new)
             )
             dvec = (1.0 - alpha) * Hdw + sigma * dw + DTv(zt_term)
-            r_dual = jnp.max(jnp.abs(dvec))
+            r_dual = jnp.max(jnp.abs(wd_(dvec)))
             Hw_new = jnp.einsum("kij,kj->ki", problem.H, w_new)
             dual_scale = jnp.maximum(
-                jnp.max(jnp.abs(Hw_new)),
-                jnp.maximum(jnp.max(jnp.abs(DTv(y_new))),
-                            jnp.max(jnp.abs(problem.h))),
+                jnp.max(jnp.abs(wd_(Hw_new))),
+                jnp.maximum(jnp.max(jnp.abs(wd_(DTv(y_new)))),
+                            jnp.max(jnp.abs(wd_(problem.h)))),
             )
         else:
-            r_dual = rho * jnp.max(jnp.abs(DTv((z_new - z) * mask)))
-            dual_scale = jnp.max(jnp.abs(DTv(y_new)))
+            r_dual = rho * jnp.max(jnp.abs(wd_(DTv((z_new - z) * mask))))
+            dual_scale = jnp.max(jnp.abs(wd_(DTv(y_new))))
 
         prim_scale = jnp.maximum(
-            jnp.max(jnp.abs(Dw_new * mask)), jnp.max(jnp.abs(z_new))
+            jnp.max(jnp.abs(wp_(Dw_new * mask))),
+            jnp.max(jnp.abs(wp_(z_new)))
         )
         eps_prim = settings.eps_abs + settings.eps_rel * prim_scale
         eps_dual = settings.eps_abs + settings.eps_rel * dual_scale
@@ -369,6 +391,7 @@ def solve_fused(
     interpret: bool = False,
     single_kernel="auto",
     storage_dtype=None,
+    residual_weights=None,
 ):
     """Batch-fused conic ADMM: inner solves via the Pallas lane kernels.
 
@@ -400,6 +423,17 @@ def solve_fused(
     problem DATA (~1e-2 relative on H), same tradeoff as the inner
     solve's bf16 mode (ops/pallas_riccati.prepare_lanes).
 
+    A ``problem`` WITHOUT a leading batch axis (``problem.A.ndim == 3``;
+    ``c`` may still be batched for per-scenario drift) selects the
+    shared-stage broadcast mode: the stage data lives in HBM as ONE
+    replicated lane chunk (pinned-block streams, ops/pallas_admm
+    shared=True) while iterates, rho, and x0 stay per-instance — one
+    model serving B scenarios, the reference's ownership shape
+    (lqr_model.hpp:66-89).  Shared mode requires the single-kernel
+    iteration (the two-kernel pair has no shared path) and is
+    incompatible with cached_factors (per-instance rho makes the
+    factors per-instance).
+
     Returns (ws (B, N+1, nz), ADMMState (batched), ADMMInfo (batched)).
     """
     from pdp_lqr_tpu.ops import pallas_riccati as pr
@@ -408,10 +442,21 @@ def solve_fused(
     sigma = settings.sigma
     alpha = settings.alpha
     dt = problem.H.dtype
-    Bb, N1 = problem.h.shape[0], problem.h.shape[1]
+    shared_mode = problem.A.ndim == 3
+    x0 = jnp.asarray(x0, dt)
+    if shared_mode:
+        Bb, N1 = x0.shape[0], problem.h.shape[0]
+    else:
+        Bb, N1 = problem.h.shape[0], problem.h.shape[1]
     N = N1 - 1
     nu, nx, nc = problem.nu, problem.nx, problem.nc
     nz = nu + nx
+    if shared_mode and settings.cached_factors:
+        raise ValueError(
+            "shared-stage solve_fused is incompatible with "
+            "cached_factors (per-instance rho makes the factors "
+            "per-instance); the in-register refactor is cheap here"
+        )
 
     if nc == 0:
         from pdp_lqr_tpu.problem import ADMMIterates as It
@@ -422,7 +467,12 @@ def solve_fused(
             z=jnp.zeros(problem.e_lb.shape, dt),
             rho=jnp.zeros(problem.e_lb.shape, dt),
         )
-        ws = pr.solve_lanes(problem, it, x0, sigma, interpret=interpret)
+        if shared_mode:
+            ws = pr.solve_shared(problem, it, x0, sigma,
+                                 interpret=interpret)
+        else:
+            ws = pr.solve_lanes(problem, it, x0, sigma,
+                                interpret=interpret)
         zero = jnp.zeros((Bb,), dt)
         info = ADMMInfo(
             iterations=jnp.ones((Bb,), jnp.int32), r_prim=zero, r_dual=zero,
@@ -432,9 +482,9 @@ def solve_fused(
         st = state
         if st is None:
             st = ADMMState(
-                w=jnp.zeros(problem.h.shape, dt),
-                z=jnp.zeros(problem.e_lb.shape, dt),
-                y=jnp.zeros(problem.e_lb.shape, dt),
+                w=jnp.zeros((Bb,) + problem.h.shape[-2:], dt),
+                z=jnp.zeros((Bb,) + problem.e_lb.shape[-2:], dt),
+                y=jnp.zeros((Bb,) + problem.e_lb.shape[-2:], dt),
                 rho=jnp.full((Bb,), settings.rho, dt),
             )
         return ws, st, info
@@ -448,78 +498,139 @@ def solve_fused(
             N, nx, nu, nc, soc_shift is not None,
             storage_dtype, dt, cached=settings.cached_factors,
         )
+    if shared_mode and not single_kernel:
+        raise ValueError(
+            "shared-stage solve_fused requires the single-kernel "
+            "iteration (the two-kernel pair has no shared path); this "
+            "shape does not fit its VMEM spill — shorten the horizon "
+            "or use the replicated (batched-problem) path"
+        )
+    if residual_weights is not None and single_kernel:
+        raise ValueError(
+            "residual_weights (unscaled-residual termination) needs "
+            "the two-kernel path — the single-kernel iteration "
+            "accumulates residual maxima in-kernel without weights; "
+            "pass single_kernel=False"
+        )
 
     # Everything below lives in the lanes layout — iterate vectors
     # included — so per-iteration work is the kernel pair plus compact
     # (rows, B)-tiled elementwise math.  The padded (B, N, nc, nz)
     # einsum layout of a naive implementation was measured to cost ~10x
     # the kernel time at B=1024.
-    mask_b = _con_mask(problem, cones).astype(dt)     # (B, N+1, nc)
     l3 = lambda x: jnp.moveaxis(x, 0, -1)             # (B, a, b[, c]) -> lanes
-    mask = l3(mask_b)                                 # (N+1, nc, B)
-
-    eye_z = jnp.eye(nz, dtype=dt)
-    A_l = pr.to_lanes(problem.A)
-    B_l = pr.to_lanes(problem.B)
-    c_l = pr.to_lanes(problem.c)
-    H_l = pr.to_lanes(problem.H[:, :-1] + sigma * eye_z)
-    Dst_l = pr.to_lanes(problem.D[:, :-1])            # (N, nc, nz, B)
-    Dall_l = pr.to_lanes(problem.D)                   # (N+1, nc, nz, B)
     x0_l = jnp.moveaxis(x0, 0, -1)
-    HN_l = l3(problem.H[:, -1, nu:, nu:] + sigma * jnp.eye(nx, dtype=dt))
-    DN_l = l3(problem.D[:, -1, :, nu:])               # (nc, nx, B)
-    h_base = l3(problem.h)                            # (N+1, nz, B)
-    h_absmax = jnp.max(jnp.abs(h_base), axis=(0, 1))  # (B,) eps_dual scale
-    uterm = jnp.ones((N + 1, nz, 1), dt).at[-1, :nu].set(0.0)
-    lb_l = l3(problem.e_lb)
-    ub_l = l3(problem.e_ub)
     shift_l = None if soc_shift is None else soc_shift[..., None]
+    eye_z = jnp.eye(nz, dtype=dt)
+    if shared_mode:
+        from pdp_lqr_tpu.ops import pallas_admm as pa
 
-    def Dw_l(w):
-        """(N+1, nc, B) = D w, unrolled over nz (compact layouts)."""
-        acc = Dall_l[:, :, 0, :] * w[:, None, 0, :]
-        for zi in range(1, nz):
-            acc = acc + Dall_l[:, :, zi, :] * w[:, None, zi, :]
-        return acc
+        # ONE replicated lane chunk for the stage streams; terminal
+        # rows (one stage of data) broadcast to the full batch for the
+        # XLA-side terminal update.
+        W = pa.admm_chunk(Bb, N, nx, nu, nc, soc_shift is not None,
+                          storage_dtype, dt)
+        rep = lambda x: jnp.broadcast_to(x[..., None], x.shape + (W,))
+        bcB = lambda x: jnp.broadcast_to(x[..., None], x.shape + (Bb,))
+        mask1 = _con_mask(problem, cones).astype(dt)  # (N+1, nc)
+        eq1 = jnp.isfinite(problem.e_lb) & (problem.e_lb == problem.e_ub)
+        scale1 = mask1 * jnp.where(
+            eq1, jnp.asarray(settings.rho_eq_boost, dt), 1.0)
+        c_b = problem.c if problem.c.ndim == 3 \
+            else jnp.broadcast_to(problem.c, (Bb,) + problem.c.shape)
+        A_l = rep(problem.A)
+        B_l = rep(problem.B)
+        c_l = pr.to_lanes(c_b)
+        H_l = rep(problem.H[:-1] + sigma * eye_z)
+        Dst_l = rep(problem.D[:-1])
+        h_stream = rep(problem.h[:-1])
+        lb_st = rep(problem.e_lb[:-1])
+        ub_st = rep(problem.e_ub[:-1])
+        mask_st = rep(scale1[:-1])    # rho-scale-carrying mask stream
+        HN_l = bcB(problem.H[-1, nu:, nu:] + sigma * jnp.eye(nx, dtype=dt))
+        DN_l = bcB(problem.D[-1, :, nu:])             # (nc, nx, B)
+        DallN = bcB(problem.D[-1])                    # (nc, nz, B)
+        hN_base = bcB(problem.h[-1])                  # (nz, B)
+        lbN = bcB(problem.e_lb[-1])
+        ubN = bcB(problem.e_ub[-1])
+        maskN = bcB(mask1[-1])
+        scaleN = bcB(scale1[-1])
+        h_absmax = jnp.full((Bb,), jnp.max(jnp.abs(problem.h)), dt)
+    else:
+        mask_b = _con_mask(problem, cones).astype(dt)  # (B, N+1, nc)
+        mask = l3(mask_b)                              # (N+1, nc, B)
+        eq_l = l3(jnp.isfinite(problem.e_lb)
+                  & (problem.e_lb == problem.e_ub))
+        rsc = mask * jnp.where(
+            eq_l, jnp.asarray(settings.rho_eq_boost, dt), 1.0)
+        A_l = pr.to_lanes(problem.A)
+        B_l = pr.to_lanes(problem.B)
+        c_l = pr.to_lanes(problem.c)
+        H_l = pr.to_lanes(problem.H[:, :-1] + sigma * eye_z)
+        Dst_l = pr.to_lanes(problem.D[:, :-1])        # (N, nc, nz, B)
+        Dall_l = pr.to_lanes(problem.D)               # (N+1, nc, nz, B)
+        HN_l = l3(problem.H[:, -1, nu:, nu:]
+                  + sigma * jnp.eye(nx, dtype=dt))
+        DN_l = l3(problem.D[:, -1, :, nu:])           # (nc, nx, B)
+        DallN = Dall_l[-1]
+        h_base = l3(problem.h)                        # (N+1, nz, B)
+        h_stream = h_base[:-1]
+        hN_base = h_base[-1]
+        h_absmax = jnp.max(jnp.abs(h_base), axis=(0, 1))  # (B,)
+        uterm = jnp.ones((N + 1, nz, 1), dt).at[-1, :nu].set(0.0)
+        lb_l = l3(problem.e_lb)
+        ub_l = l3(problem.e_ub)
+        lb_st, ubN = lb_l[:-1], ub_l[-1]
+        ub_st, lbN = ub_l[:-1], lb_l[-1]
+        mask_st, maskN = rsc[:-1], mask[-1]   # stream carries rho scale
+        scaleN = rsc[-1]
 
-    def Hw_l(wv):
-        """(N+1, nz, B) = H w with the ORIGINAL H (sigma removed) —
-        exact-dual residual term, unrolled like Dw_l."""
-        acc = H_l[:, :, 0, :] * wv[:-1, None, 0, :]
-        for zi in range(1, nz):
-            acc = acc + H_l[:, :, zi, :] * wv[:-1, None, zi, :]
-        acc = acc - sigma * wv[:-1]
-        accN = HN_l[:, 0, :] * wv[-1, None, nu, :]
-        for xi in range(1, nx):
-            accN = accN + HN_l[:, xi, :] * wv[-1, None, nu + xi, :]
-        accN = accN - sigma * wv[-1, nu:]
-        wN = jnp.concatenate([jnp.zeros((nu, Bb), dt), accN], axis=0)
-        return jnp.concatenate([acc, wN[None]], axis=0)
+    if not shared_mode:
+        def Dw_l(w):
+            """(N+1, nc, B) = D w, unrolled over nz (compact layouts)."""
+            acc = Dall_l[:, :, 0, :] * w[:, None, 0, :]
+            for zi in range(1, nz):
+                acc = acc + Dall_l[:, :, zi, :] * w[:, None, zi, :]
+            return acc
 
-    def DTy_l(yv):
-        """(N+1, nz, B) = D^T y, unrolled over nc."""
-        acc = Dall_l[:, 0, :, :] * yv[:, 0, None, :]
-        for ci in range(1, nc):
-            acc = acc + Dall_l[:, ci, :, :] * yv[:, ci, None, :]
-        return acc
+        def Hw_l(wv):
+            """(N+1, nz, B) = H w with the ORIGINAL H (sigma removed) —
+            exact-dual residual term, unrolled like Dw_l."""
+            acc = H_l[:, :, 0, :] * wv[:-1, None, 0, :]
+            for zi in range(1, nz):
+                acc = acc + H_l[:, :, zi, :] * wv[:-1, None, zi, :]
+            acc = acc - sigma * wv[:-1]
+            accN = HN_l[:, 0, :] * wv[-1, None, nu, :]
+            for xi in range(1, nx):
+                accN = accN + HN_l[:, xi, :] * wv[-1, None, nu + xi, :]
+            accN = accN - sigma * wv[-1, nu:]
+            wN = jnp.concatenate([jnp.zeros((nu, Bb), dt), accN], axis=0)
+            return jnp.concatenate([acc, wN[None]], axis=0)
 
-    def project_l(v):
-        out = jnp.clip(v, lb_l, ub_l)
-        for off, dim, kind in projections.normalize_cones(cones):
-            blk = v[:, off : off + dim, :]
-            if shift_l is not None:
-                s = shift_l[:, off : off + dim, :]
-                blk = projections.project_cone(blk + s, kind, axis=-2) - s
-            else:
-                blk = projections.project_cone(blk, kind, axis=-2)
-            out = out.at[:, off : off + dim, :].set(blk)
-        return out
+        def DTy_l(yv):
+            """(N+1, nz, B) = D^T y, unrolled over nc."""
+            acc = Dall_l[:, 0, :, :] * yv[:, 0, None, :]
+            for ci in range(1, nc):
+                acc = acc + Dall_l[:, ci, :, :] * yv[:, ci, None, :]
+            return acc
+
+        def project_l(v):
+            out = jnp.clip(v, lb_l, ub_l)
+            for off, dim, kind in projections.normalize_cones(cones):
+                blk = v[:, off : off + dim, :]
+                if shift_l is not None:
+                    s = shift_l[:, off : off + dim, :]
+                    blk = projections.project_cone(blk + s, kind, axis=-2) - s
+                else:
+                    blk = projections.project_cone(blk, kind, axis=-2)
+                out = out.at[:, off : off + dim, :].set(blk)
+            return out
 
     if state is None:
         state = ADMMState(
-            w=jnp.zeros(problem.h.shape, dt),
-            z=jnp.zeros(problem.e_lb.shape, dt),
-            y=jnp.zeros(problem.e_lb.shape, dt),
+            w=jnp.zeros((Bb,) + problem.h.shape[-2:], dt),
+            z=jnp.zeros((Bb,) + problem.e_lb.shape[-2:], dt),
+            y=jnp.zeros((Bb,) + problem.e_lb.shape[-2:], dt),
             rho=jnp.full((Bb,), settings.rho, dt),
         )
 
@@ -535,7 +646,8 @@ def solve_fused(
     _st = (lambda x: x.astype(storage_dtype)) if storage_dtype else \
         (lambda x: x)
     A_k, B_k, c_k = _st(A_l), _st(B_l), _st(c_l)
-    H_k, h_k, D_k = _st(H_l), _st(h_base[:-1]), _st(Dst_l)
+    H_k, h_k, D_k = _st(H_l), _st(h_stream), _st(Dst_l)
+    Wst = A_k.shape[-1]          # stream lane width (W shared, B else)
 
     def _finish_stats(w_new, z_new, y_new, rho, stats,
                       r_prim, r_dual, prim_scale, dual_scale):
@@ -571,11 +683,12 @@ def solve_fused(
         # Terminal fold in XLA (tiny); zero-D rows contribute nothing,
         # so raw rho works and z/y are invariantly masked.
         PN = HN_l
-        pN = h_base[-1, nu:] - sigma * w[-1, nu:]
+        pN = hN_base[nu:] - sigma * w[-1, nu:]
         for ci in range(nc):
-            wrow = rho[None, :] * DN_l[ci]
+            rho_cN = rho * scaleN[ci]          # per-row rho (eq boost)
+            wrow = rho_cN[None, :] * DN_l[ci]
             PN = PN + DN_l[ci][:, None, :] * wrow[None, :, :]
-            pN = pN - (rho * z[-1, ci] - y[-1, ci])[None, :] * DN_l[ci]
+            pN = pN - (rho_cN * z[-1, ci] - y[-1, ci])[None, :] * DN_l[ci]
 
         factors_arg = None
         if settings.cached_factors:
@@ -590,7 +703,7 @@ def solve_fused(
             refactor = jnp.any(rho != rho_f)
 
             def full_fn(rho_op):
-                rho_vec = rho_op[None, None, :] * mask
+                rho_vec = rho_op[None, None, :] * rsc
                 K, _, M, _, P, L = pr.backward_lanes(
                     A_l, B_l, c_l, H_l, jnp.zeros((N, nz, Bb), dt),
                     Dst_l, rho_vec[:-1], jnp.zeros((N, nc, Bb), dt),
@@ -608,21 +721,24 @@ def solve_fused(
 
         shift_st = None
         if shift_l is not None:
-            shift_st = jnp.broadcast_to(shift_l[:-1], (N, nc, Bb))
+            shift_st = jnp.broadcast_to(shift_l[:-1], (N, nc, Wst))
         w_st, z_st, y_st, xN, res = pa.admm_iter_lanes(
             A_k, B_k, c_k, H_k, h_k, D_k,
-            lb_l[:-1], ub_l[:-1], mask[:-1], shift_st,
+            lb_st, ub_st, mask_st, shift_st,
             w[:-1], z[:-1], y[:-1], rho_row, PN, pN, x0_l,
             nu=nu, cones=cones3, alpha=alpha, sigma=sigma,
-            factors=factors_arg, interpret=interpret,
+            factors=factors_arg, shared=shared_mode,
+            interpret=interpret,
         )
 
         # Terminal stage (no control): relax/project/dual + residuals.
         w_tN = jnp.concatenate([jnp.zeros((nu, Bb), dt), xN], axis=0)
         z_tN = jnp.einsum("cxb,xb->cb", DN_l, xN)
         w_newN = alpha * w_tN + (1.0 - alpha) * w[-1]
-        vN = alpha * z_tN + (1.0 - alpha) * z[-1] + y[-1] / rho[None, :]
-        projN = jnp.clip(vN, lb_l[-1], ub_l[-1])
+        rhoN_m = rho[None, :] * scaleN
+        vN = alpha * z_tN + (1.0 - alpha) * z[-1] + jnp.where(
+            scaleN > 0, y[-1] / jnp.maximum(rhoN_m, 1e-30), 0.0)
+        projN = jnp.clip(vN, lbN, ubN)
         for off, dim, kind in cones3:
             blk = vN[off : off + dim]
             if shift_l is not None:
@@ -631,8 +747,8 @@ def solve_fused(
             else:
                 blk = projections.project_cone(blk, kind, axis=0)
             projN = projN.at[off : off + dim].set(blk)
-        z_newN = projN * mask[-1]
-        y_newN = y[-1] + (rho[None, :] * mask[-1]) * (
+        z_newN = projN * maskN
+        y_newN = y[-1] + rhoN_m * (
             alpha * z_tN + (1.0 - alpha) * z[-1] - z_newN
         )
 
@@ -640,10 +756,9 @@ def solve_fused(
             hx = jnp.einsum("xyb,yb->xb", HN_l, v[nu:]) - sigma * v[nu:]
             return jnp.concatenate([jnp.zeros((nu, Bb), dt), hx], axis=0)
 
-        DallN = Dall_l[-1]
         DwN = jnp.einsum("czb,zb->cb", DallN, w_newN)
         dwN = w[-1] - w_tN
-        zt_termN = rho[None, :] * (
+        zt_termN = rhoN_m * (
             (alpha - 1.0) * (z_tN - z[-1]) + (z[-1] - z_newN)
         )
         dvecN = (
@@ -674,11 +789,21 @@ def solve_fused(
                                r_prim, r_dual, prim_scale, dual_scale)
         return out + tuple(fac), None
 
+    if residual_weights is not None:
+        pwt_l = residual_weights[0][..., None]   # (N+1, nc, 1)
+        dwt_l = residual_weights[1][..., None]   # (N+1, nz, 1)
+        wp_ = lambda x: x * pwt_l
+        wd_ = lambda x: x * dwt_l
+        h_absmax = jnp.max(jnp.abs(wd_(h_base)), axis=(0, 1))  # (B,)
+    else:
+        wp_ = wd_ = lambda x: x
+
     def iteration(carry, _):
         w, z, y, rho, stats, *fac = carry    # lanes: w (N+1,nz,B), z/y (N+1,nc,B)
         k_it, iter_conv, _, _, _ = stats
-        rho_vec = rho[None, None, :] * mask
-        inv_rho = mask / jnp.maximum(rho[None, None, :], 1e-30)
+        rho_vec = rho[None, None, :] * rsc
+        inv_rho = jnp.where(
+            rsc > 0, 1.0 / jnp.maximum(rho_vec, 1e-30), 0.0)
         g = z - inv_rho * y
 
         h_t = (h_base - sigma * w) * uterm
@@ -751,23 +876,24 @@ def solve_fused(
 
         Dw_new = Dw_l(w_new)
         amax = lambda x: jnp.max(jnp.abs(x), axis=(0, 1))   # -> (B,)
-        r_prim = amax((Dw_new - z_new) * mask)
+        r_prim = amax(wp_((Dw_new - z_new) * mask))
         if settings.exact_dual:
             # Same OSQP 3.4 exact dual residual as in solve() (see the
             # derivation there), on lanes tiles.
             dw = w - w_t
             zt_term = rho_vec * ((alpha - 1.0) * (z_t - z) + (z - z_new))
             dvec = (1.0 - alpha) * Hw_l(dw) + sigma * dw + DTy_l(zt_term)
-            r_dual = amax(dvec)
+            r_dual = amax(wd_(dvec))
             dual_scale = jnp.maximum(
-                amax(Hw_l(w_new)),
-                jnp.maximum(amax(DTy_l(y_new)), h_absmax),
+                amax(wd_(Hw_l(w_new))),
+                jnp.maximum(amax(wd_(DTy_l(y_new))), h_absmax),
             )
         else:
-            r_dual = rho * amax(DTy_l((z_new - z) * mask))
-            dual_scale = amax(DTy_l(y_new))
+            r_dual = rho * amax(wd_(DTy_l((z_new - z) * mask)))
+            dual_scale = amax(wd_(DTy_l(y_new)))
 
-        prim_scale = jnp.maximum(amax(Dw_new * mask), amax(z_new))
+        prim_scale = jnp.maximum(amax(wp_(Dw_new * mask)),
+                                 amax(wp_(z_new)))
         conv = (r_prim <= settings.eps_abs + settings.eps_rel * prim_scale) \
             & (r_dual <= settings.eps_abs + settings.eps_rel * dual_scale)
 
@@ -840,6 +966,44 @@ def solve_fused(
         w=w_b, z=z_b, y=y_b, rho=rho,
         factors=fac_out[0] if fac_out else None,
     ), info
+
+
+def solve_equilibrated(
+    problem: LQRProblem,
+    x0,
+    cones: Sequence[projections.ConeSpec] = (),
+    settings: ADMMSettings = ADMMSettings(),
+    state: Optional[ADMMState] = None,
+    soc_shift=None,
+    *,
+    ruiz_iters: int = 10,
+):
+    """Ruiz-equilibrated solve (OSQP sec. 5) of an UNBATCHED problem.
+
+    Scales (H, h, D, bounds) by modified Ruiz equilibration + cost
+    normalization (utils/scaling), pushes the variable scaling through
+    the dynamics, solves the scaled problem with termination on the
+    UNSCALED residuals (residual_weights), and returns unscaled
+    (ws, state, info).  A problem whose rows span orders of magnitude
+    converges in roughly the iterations of its well-scaled equivalent
+    — OSQP's robustness mechanism, absent from the reference because
+    its outer loop is unreleased (lqr_model.hpp:22-24 bounds stored
+    but never read).
+
+    ``state`` is in UNSCALED space (as returned by this function).
+    """
+    from pdp_lqr_tpu.utils import scaling as sc
+
+    cones = tuple(cones)
+    scal = sc.ruiz_equilibrate(problem, cones, ruiz_iters)
+    sp = sc.scale_problem(problem, scal)
+    sx0 = sc.scale_x0(x0, scal, problem.nu)
+    ssh = sc.scale_soc_shift(soc_shift, scal)
+    weights = sc.residual_weights(scal)
+    sstate = None if state is None else sc.scale_state(state, scal)
+    ws, st, info = solve(sp, sx0, cones, settings, sstate, ssh,
+                         residual_weights=weights)
+    return sc.unscale_ws(ws, scal), sc.unscale_state(st, scal), info
 
 
 def solve_batched(problem, x0, cones=(), settings=ADMMSettings(), state=None,
