@@ -1,17 +1,27 @@
 """Pod-scale conic ADMM: the full outer loop under shard_map.
 
 Composes the ADMM iteration (solvers/admm.py math) with the multi-chip
-fused-PDP inner solve (parallel/pdp_sharded_fused.segment_solve_local)
-on a ("batch", "time") mesh:
+fused-PDP inner solve (parallel/pdp_sharded_fused) on a
+("batch", "time") mesh:
 
   * problem instances shard over "batch" (pure data parallelism);
   * the horizon shards over "time" exactly like the reference's
     OpenMP segments (lqr_solver_parallel.hpp:70-146), with the
-    (P, F, C, p, f) boundary all-gather riding ICI once per iteration;
+    boundary all-gather riding ICI once per iteration;
   * projections and dual updates are stage-local (zero collectives);
   * per-instance residual maxima reduce with one pmax over "time";
-  * per-instance adaptive rho needs no refactor bookkeeping (the fused
-    kernels factor in-register every iteration).
+  * ``cached_factors`` ports the parallel solver's
+    with/without-factorization split
+    (lqr_solver_parallel.hpp:148-154,190-211): each
+    rho_update_interval-long chunk factors the segment matrices and the
+    condensed system ONCE (segment_factors_local) and runs vector-only
+    sweeps (segment_solve_cached) for the rest — the boundary exchange
+    shrinks to the (p0, f0) vectors;
+  * ``early_exit`` replaces the fixed-trip scan with a while_loop whose
+    continue flag is an all-mesh ``pmin`` of per-instance convergence
+    computed in the body — every device sees the identical flag, so
+    divergent trip counts (the old deadlock concern) cannot happen.
+    With cached_factors the exit granularity is one chunk.
 
 Iterate layout inside the loop: stage rows (w, z, y) live as local
 (Bl, Nl, ...) shards; terminal rows are replicated over "time" (every
@@ -32,7 +42,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from pdp_lqr_tpu.config import f32_matmul_precision
 from pdp_lqr_tpu.ops import projections
-from pdp_lqr_tpu.parallel.pdp_sharded_fused import segment_solve_local
+from pdp_lqr_tpu.parallel.pdp_sharded_fused import (
+    segment_factors_local,
+    segment_solve_cached,
+    segment_solve_local,
+)
 from pdp_lqr_tpu.problem import LQRProblem
 from pdp_lqr_tpu.solvers.admm import ADMMInfo, ADMMSettings
 
@@ -80,6 +94,13 @@ def _build(mesh: Mesh, nu: int, nc: int,
             maskN = maskN.at[..., off:off + dim].set(
                 jnp.broadcast_to(blkN, maskN[..., off:off + dim].shape))
 
+        # Per-row rho (the reference's rho_vecs interface): equality
+        # rows run at rho * rho_eq_boost (OSQP 5.2).
+        boost = jnp.asarray(settings.rho_eq_boost, dt)
+        rsc = mask * jnp.where(jnp.isfinite(lb) & (lb == ub), boost, 1.0)
+        rscN = maskN * jnp.where(
+            jnp.isfinite(lbN) & (lbN == ubN), boost, 1.0)
+
         Dw = lambda w: jnp.einsum("bkcz,bkz->bkc", D, w)
         DwN = lambda w: jnp.einsum("bcz,bz->bc", DN, w)
         DTv = lambda vc: jnp.einsum("bkcz,bkc->bkz", D, vc)
@@ -99,34 +120,53 @@ def _build(mesh: Mesh, nu: int, nc: int,
 
         pmax_t = lambda x: jax.lax.pmax(x, "time")
 
-        def iteration(carry, _):
-            w, wN, z, zN, y, yN, rho, stats = carry
-            k_it, iter_conv, _, _, _ = stats
+        def x_update(w, wN, z, zN, y, yN, rho, factors):
+            """Inner KKT solve (reference update_problem_data +
+            backward + forward) through the sharded fused-PDP path —
+            cached (vector-only) when factors are given."""
             rho_b = rho[:, None, None]
-            rho_vec = rho_b * mask                        # (Bl, Nl, nc)
-            rhoN_vec = rho[:, None] * maskN
-            inv_rho = mask / jnp.maximum(rho_b, 1e-30)
-            inv_rhoN = maskN / jnp.maximum(rho[:, None], 1e-30)
+            rho_vec = rho_b * rsc
+            rhoN_vec = rho[:, None] * rscN
+            inv_rho = jnp.where(
+                rsc > 0, 1.0 / jnp.maximum(rho_vec, 1e-30), 0.0)
+            inv_rhoN = jnp.where(
+                rscN > 0, 1.0 / jnp.maximum(rhoN_vec, 1e-30), 0.0)
             g = z - inv_rho * y
             gN = zN - inv_rhoN * yN
 
             h_t = h - sigma * w                           # (Bl, Nl, nz)
             hN_t = hN.at[:, :nu].set(0.0) - sigma * (
                 wN.at[:, :nu].set(0.0))
-            # Terminal penalty fold in x-block form (same math as
-            # pdp_sharded_fused.fold_terminal, on the pre-sliced DNx).
-            PNb = HNs + jnp.einsum("bci,bc,bcj->bij", DNx, rhoN_vec, DNx)
             pNb = hN_t[:, nu:] - jnp.einsum(
                 "bci,bc->bi", DNx, rhoN_vec * gN)
 
-            ws_l, xN = segment_solve_local(
-                S, interpret,
-                A_l, B_l, c_l, Hs_l, lanes2(h_t), D_l,
-                lanes2(rho_vec), lanes2(rho_vec * g), PNb, pNb, x0,
-            )
+            if factors is None:
+                # Terminal penalty fold in x-block form (same math as
+                # pdp_sharded_fused.fold_terminal, pre-sliced DNx).
+                PNb = HNs + jnp.einsum(
+                    "bci,bc,bcj->bij", DNx, rhoN_vec, DNx)
+                ws_l, xN = segment_solve_local(
+                    S, interpret,
+                    A_l, B_l, c_l, Hs_l, lanes2(h_t), D_l,
+                    lanes2(rho_vec), lanes2(rho_vec * g), PNb, pNb, x0,
+                )
+            else:
+                hf = h_t - DTv(rho_vec * g)
+                ws_l, xN = segment_solve_cached(
+                    S, interpret, factors,
+                    A_l, B_l, c_l, lanes2(hf), pNb, x0,
+                )
             w_t = jnp.transpose(ws_l, (2, 0, 1))          # (Bl, Nl, nz)
             wN_t = jnp.concatenate(
                 [jnp.zeros((Bl, nu), dt), xN], axis=-1)
+            return w_t, wN_t, rho_vec, rhoN_vec, inv_rho, inv_rhoN
+
+        def iteration(carry, factors=None):
+            w, wN, z, zN, y, yN, rho, stats = carry
+            k_it, iter_conv, _, _, _, _ = stats
+            (w_t, wN_t, rho_vec, rhoN_vec,
+             inv_rho, inv_rhoN) = x_update(w, wN, z, zN, y, yN, rho,
+                                           factors)
 
             z_t, zN_t = Dw(w_t), DwN(wN_t)
             w_new = alpha * w_t + (1.0 - alpha) * w
@@ -197,21 +237,92 @@ def _build(mesh: Mesh, nu: int, nc: int,
                              settings.rho_max),
                     rho)
 
-            stats = (k_next, iter_conv, r_prim, r_dual, conv)
+            # Global convergence flag: identical on every device of the
+            # mesh (pmin over BOTH axes), so while_loop trip counts can
+            # never diverge across shards.
+            all_conv = jax.lax.pmin(
+                jnp.all(conv).astype(jnp.int32), ("batch", "time"))
+            stats = (k_next, iter_conv, r_prim, r_dual, conv, all_conv)
             carry = (w_new, wN_new, z_new, zN_new, y_new, yN_new,
                      rho, stats)
-            return carry, None
+            return carry
+
+        def build_factors(carry):
+            """Segment + condensed matrix factorization at the carry's
+            current rho (iterate-independent)."""
+            rho = carry[6]
+            rhoN_vec = rho[:, None] * rscN
+            PNb = HNs + jnp.einsum("bci,bc,bcj->bij", DNx, rhoN_vec, DNx)
+            rho_vec = rho[:, None, None] * rsc
+            return segment_factors_local(
+                S, interpret, A_l, B_l, Hs_l, D_l, lanes2(rho_vec), PNb)
 
         stats0 = (
             jnp.asarray(0, jnp.int32), jnp.full((Bl,), -1, jnp.int32),
             jnp.full((Bl,), jnp.inf, dt), jnp.full((Bl,), jnp.inf, dt),
-            jnp.zeros((Bl,), bool),
+            jnp.zeros((Bl,), bool), jnp.asarray(0, jnp.int32),
         )
         carry0 = (w0, wN0, z0, zN0, y0, yN0, rho0, stats0)
-        carry, _ = jax.lax.scan(
-            iteration, carry0, None, length=settings.max_iter)
+        max_iter = settings.max_iter
+        interval = max(1, settings.rho_update_interval)
+
+        if settings.cached_factors:
+            # Chunked loop on the rho cadence: rho can only move at
+            # multiples of the interval (allow_rho_update gates the
+            # in-iteration rule), so factors built at a chunk start
+            # stay valid for the whole chunk — the fixed-cadence
+            # pattern of solvers/admm.solve, collective-safe because
+            # every device runs the identical chunk schedule.
+            def run_chunk(carry, n_iters):
+                # Only a chunk's LAST iteration can move rho (the
+                # k % interval == 0 gate inside iteration), so the
+                # factors stay valid for the whole chunk.
+                factors = build_factors(carry)
+                carry, _ = jax.lax.scan(
+                    lambda c, _: (iteration(c, factors), None),
+                    carry, None, length=n_iters)
+                return carry
+
+            n_chunks = -(-max_iter // interval)
+            tail = max_iter - (n_chunks - 1) * interval
+            if settings.early_exit:
+                def cond(c):
+                    k_it, all_conv = c[7][0], c[7][5]
+                    return (k_it < (n_chunks - 1) * interval) \
+                        & (all_conv == 0)
+
+                carry = jax.lax.while_loop(
+                    cond, lambda c: run_chunk(c, interval), carry0)
+                # Tail chunk (may be shorter), fixed-trip.
+                def tail_if_needed(c):
+                    k_it, all_conv = c[7][0], c[7][5]
+                    need = (k_it < max_iter) & (all_conv == 0)
+                    return jax.lax.cond(
+                        need, lambda cc: run_chunk(cc, tail),
+                        lambda cc: cc, c)
+                carry = tail_if_needed(carry)
+            else:
+                if n_chunks > 1:
+                    carry, _ = jax.lax.scan(
+                        lambda c, _: (run_chunk(c, interval), None),
+                        carry0, None, length=n_chunks - 1)
+                else:
+                    carry = carry0
+                carry = run_chunk(carry, tail)
+        elif settings.early_exit:
+            def cond(c):
+                k_it, all_conv = c[7][0], c[7][5]
+                return (k_it < max_iter) & (all_conv == 0)
+
+            carry = jax.lax.while_loop(
+                cond, lambda c: iteration(c), carry0)
+        else:
+            carry, _ = jax.lax.scan(
+                lambda c, _: (iteration(c), None), carry0, None,
+                length=max_iter)
+
         w, wN, z, zN, y, yN, rho, stats = carry
-        k_it, iter_conv, r_prim, r_dual, conv = stats
+        k_it, iter_conv, r_prim, r_dual, conv, _ = stats
         return (w, wN, z, zN, y, yN, rho,
                 jnp.broadcast_to(k_it, (Bl,)), iter_conv,
                 r_prim, r_dual, conv)
@@ -254,6 +365,11 @@ def solve(
     "batch" mesh size; horizon N divisible by the "time" size; the
     local batch shard must satisfy Pallas lane alignment on hardware).
     ``state`` warm-starts from a previous solve's returned state.
+
+    ``settings.cached_factors`` enables the parallel solver's
+    with/without-factorization split on the sharded loop;
+    ``settings.early_exit`` stops the whole mesh once EVERY instance
+    converges (all-mesh pmin — safe under shard_map).
 
     Returns (ws (B, N+1, nz), ADMMState (batched), ADMMInfo (batched)).
     """

@@ -92,6 +92,101 @@ def segment_solve_local(S: int, interpret: bool,
     return ws_l, xN
 
 
+def segment_factors_local(S: int, interpret: bool,
+                          A_l, B_l, H_l, D_l, rho_l, PNb):
+    """Matrix-only PDP factor build — the cached half of the parallel
+    solver's with/without-factorization split
+    (lqr_solver_parallel.hpp:148-154).
+
+    Runs INSIDE a shard_map body with a "time" axis of size S.  Every
+    matrix quantity of the segment reduction (per-stage K, M, Gp,
+    P_{k+1}, chol(Huu), F_{k+1}; boundary P0/F0/C0; the condensed
+    Cholesky factorization) is iterate-independent while rho is
+    unchanged, so it is built once here from zero vector inputs and
+    reused by segment_solve_cached until the penalty moves.
+
+    Returns an opaque factor pytree.
+    """
+    i = jax.lax.axis_index("time")
+    is_last = i == S - 1
+    Nl, nx = A_l.shape[0], A_l.shape[1]
+    nz = H_l.shape[1]
+    nc = D_l.shape[1]
+    dt = A_l.dtype
+    Bl = A_l.shape[-1]
+
+    w = is_last.astype(dt)
+    Pi = w * jnp.moveaxis(PNb, 0, -1)
+    pi = jnp.zeros((nx, Bl), dt)
+    eye = jnp.eye(nx, dtype=dt)[:, :, None]
+    Fi = jnp.broadcast_to(eye, (nx, nx, Bl))
+    Ci = jnp.zeros((nx, nx, Bl), dt)
+    fi = jnp.zeros((nx, Bl), dt)
+
+    zc = jnp.zeros((Nl, nx, Bl), dt)
+    zh = jnp.zeros((Nl, nz, Bl), dt)
+    zrg = jnp.zeros((Nl, nc, Bl), dt)
+    (K, _, M, _, Gp, Pst, Lst, Fst,
+     P0, _, F0, C0, _) = pr.backward_pdp_lanes(
+        A_l, B_l, zc, H_l, zh, D_l, rho_l, zrg,
+        Pi, pi, Fi, Ci, fi, interpret=interpret, export_factors=True,
+    )
+
+    gath = lambda x: jnp.moveaxis(
+        jax.lax.all_gather(x, "time", axis=0), -1, 1
+    )
+    Pg = jnp.swapaxes(gath(P0), 0, 1)  # (Bl, S, nx, nx)
+    Fg = jnp.swapaxes(gath(F0), 0, 1)
+    Cg = jnp.swapaxes(gath(C0), 0, 1)
+    fac = condensed.cholesky_backward(Pg, Fg, Cg)
+    return (K, M, Gp, Pst, Lst, Fst, fac)
+
+
+def segment_solve_cached(S: int, interpret: bool, factors,
+                         A_l, B_l, c_l, hf_l, pNb, x0):
+    """Cached-factor inner solve: vector-only segment sweep + cached
+    condensed forward + cached-map rollout
+    (lqr_solver_parallel.hpp:190-211 + :213-238 with reused factors).
+
+    ``hf_l`` (Nl, nz, Bl) is the fully iterate-folded linear cost
+    h - sigma w - D^T (rho g); ``pNb`` (Bl, nx) its terminal row.
+    Same contract as segment_solve_local otherwise.
+    """
+    K, M, Gp, Pst, Lst, Fst, fac = factors
+    i = jax.lax.axis_index("time")
+    is_last = i == S - 1
+    dt = A_l.dtype
+
+    w = is_last.astype(dt)
+    pi = w * jnp.moveaxis(pNb, 0, -1)
+
+    d, v, p0, f0 = pr.backward_pdp_vectors_lanes(
+        A_l, B_l, c_l, hf_l, Pst, K, Lst, Fst, pi, interpret=interpret,
+    )
+
+    gath = lambda x: jnp.moveaxis(
+        jax.lax.all_gather(x, "time", axis=0), -1, 1
+    )
+    pg = jnp.swapaxes(gath(p0), 0, 1)  # (Bl, S, nx)
+    fg = jnp.swapaxes(gath(f0), 0, 1)
+    xhat, uhat = condensed.cholesky_forward(fac, pg, fg, x0)
+
+    xh_i = jnp.moveaxis(jnp.take(xhat, i, axis=1), 0, -1)  # (nx, Bl)
+    uh_i = jnp.moveaxis(jnp.take(uhat, i, axis=1), 0, -1)
+
+    dd = jnp.einsum("tuxb,xb->tub", Gp, uh_i)
+    d_adj = d + dd
+    v_adj = v + jnp.einsum("txub,tub->txb", B_l, dd)
+
+    ws_l, x_end = pr.forward_lanes(M, v_adj, K, d_adj, xh_i,
+                                   interpret=interpret)
+    xN = jnp.moveaxis(x_end, -1, 0)
+    xN = jax.lax.psum(
+        jnp.where(is_last, xN, jnp.zeros_like(xN)), "time"
+    )
+    return ws_l, xN
+
+
 def fold_terminal(nu: int, HN, hN, DN, rhoN, gN):
     """Penalty-fold the terminal cost (lqr_kernel_parallel.hpp:51-67,
     P-form): (Bl, ...) batched arrays -> (PNb, pNb)."""
