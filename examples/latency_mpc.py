@@ -112,10 +112,26 @@ def main():
               f"({'WITHIN' if replan_ms <= 1.0 else 'OVER'} "
               f"1 ms / 1 kHz budget)")
 
+    def time_rebuild(build_fn, label):
+        """Operator REBUILD cost (VERDICT r3 #8): the rho-ladder's
+        economics hinge on it — a rho step pays one rebuild, then every
+        replan reuses (T, J, r).  Timed like everything else (delta-free
+        single measure; the build is one program)."""
+        rb = jax.jit(lambda r: tuple(jax.tree.leaves(build_fn(r))))
+        t_rb = _time(rb, jnp.asarray(1.0, dtype), reps=5)
+        print(f"{label} rebuild: {t_rb*1e3:.3f} ms per rho change "
+              f"(amortized over an interval-25 rho cadence: "
+              f"{t_rb/25*1e6:.1f} us/iter)")
+
     if not args.skip_dense_op:
         op = realtime.build_operator(problem, rho=1.0,
                                      settings=rt_settings(K))
         time_operator(op, "realtime operator path")
+        time_rebuild(
+            lambda r: realtime.build_operator(
+                problem, r, settings=rt_settings(K)),
+            "realtime operator",
+        )
 
     # ---- condensed (segment-factored) operator ---------------------------
     # O(M^2) -> O(M^2/S + 2 M S nx) memory/bandwidth: the long-horizon
@@ -130,6 +146,11 @@ def main():
         cop = realtime.build_condensed_operator(
             problem, rho=1.0, num_segments=S, settings=rt_settings(K))
         time_operator(cop, f"condensed operator (S={S}) path")
+        time_rebuild(
+            lambda r: realtime.build_condensed_operator(
+                problem, r, num_segments=S, settings=rt_settings(K)),
+            f"condensed operator (S={S})",
+        )
 
     # ---- fused batch (Pallas kernels) -----------------------------------
     B = args.batch
