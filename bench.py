@@ -429,11 +429,11 @@ def main():
         if args.resident:
             prep0 = pallas_riccati.prepare_shared(
                 dataclasses.replace(base, c=c_b), its1, x0, 1e-6)
-            step_args = prep0
+            step_args, nu_static = prep0[:-1], prep0[-1]
 
             def step(*arrays):
                 return pallas_riccati.solve_shared_prepared(
-                    arrays, interpret=on_cpu)
+                    arrays + (nu_static,), interpret=on_cpu)
         else:
             step_args = (base, c_b, its1, x0)
 

@@ -117,7 +117,11 @@ def main():
         economics hinge on it — a rho step pays one rebuild, then every
         replan reuses (T, J, r).  Timed like everything else (delta-free
         single measure; the build is one program)."""
-        rb = jax.jit(lambda r: tuple(jax.tree.leaves(build_fn(r))))
+        # Reduce every operator leaf to one scalar so nothing is DCE'd
+        # and the host fence has an array to pull.
+        rb = jax.jit(lambda r: sum(
+            jnp.sum(jnp.abs(leaf))
+            for leaf in jax.tree.leaves(build_fn(r))))
         t_rb = _time(rb, jnp.asarray(1.0, dtype), reps=5)
         print(f"{label} rebuild: {t_rb*1e3:.3f} ms per rho change "
               f"(amortized over an interval-25 rho cadence: "
