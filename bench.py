@@ -220,6 +220,23 @@ def run_check(on_cpu: bool) -> int:
     if not np.isfinite(errsh) or errsh > 1e-3:
         failures.append(f"conic_admm/shared_1k: {errsh:.3e}")
 
+    # Shared + cached factors + uniform rho: the pinned (P, L, K)
+    # factor streams' hardware lowering (rho fixed here, so the result
+    # must match the replicated two-kernel run).
+    t0 = time.perf_counter()
+    wsc = np.asarray(jax.jit(lambda p, x: admm_mod.solve_fused(
+        p, x, tuple(cones),
+        _dc.replace(cst, cached_factors=True, uniform_rho=True),
+        soc_shift=shift, interpret=on_cpu,
+        single_kernel=True)[0])(cp, cx0))
+    errsc = float(np.abs(wsc - w2k).max() / max(1.0, np.abs(w2k).max()))
+    results["conic_admm/shared_cached_1k"] = errsc
+    print(f"# conic_admm/shared_cached_1k: rel_err={errsc:.3e} "
+          f"(compile+run {time.perf_counter() - t0:.0f}s)",
+          file=sys.stderr, flush=True)
+    if not np.isfinite(errsc) or errsc > 1e-3:
+        failures.append(f"conic_admm/shared_cached_1k: {errsc:.3e}")
+
     worst = max(results.values())
     print(json.dumps({
         "metric": "on-device cross-backend parity (max rel err, f32, "
@@ -251,9 +268,9 @@ def run_admm_bench(args, on_cpu: bool, backend: str) -> int:
     K = args.admm
     problem, _ = quadrotor(N=N, constrained=True, dtype=jnp.float32)
     # Shared-stage broadcast mode: one model in HBM, B scenario
-    # iterates (single-kernel only; incompatible with cached factors).
-    shared = (not args.no_shared and args.single_kernel
-              and not args.cached)
+    # iterates (single-kernel only).  With --cached the factors are
+    # batch-shared too, which requires the batch-uniform adaptive rho.
+    shared = not args.no_shared and args.single_kernel
     if shared:
         bp = problem
     else:
@@ -263,6 +280,7 @@ def run_admm_bench(args, on_cpu: bool, backend: str) -> int:
     settings = admm.ADMMSettings(
         max_iter=K, rho_update_interval=25, rho=0.1,
         eps_abs=1e-4, eps_rel=1e-4, cached_factors=args.cached,
+        uniform_rho=shared and args.cached,
     )
     storage_dt = jnp.bfloat16 if (args.bf16 and args.single_kernel) \
         else None
@@ -285,6 +303,8 @@ def run_admm_bench(args, on_cpu: bool, backend: str) -> int:
         label += "+bf16"
     if args.cached:
         label += "+cached-factors"
+        if shared:
+            label += "+uniform-rho"
     print(json.dumps({
         "metric": f"conic ADMM solves/s/chip ({K} iters/solve, N={N}, "
                   f"B={B}, {label}, {backend})",

@@ -40,6 +40,7 @@ from pdp_lqr_tpu.api import (
     LQRParallelSolver,
     QDLDLSolver,
     AssociativeScanSolver,
+    ScenarioServer,
 )
 
 __all__ = [
@@ -56,6 +57,7 @@ __all__ = [
     "LQRParallelSolver",
     "QDLDLSolver",
     "AssociativeScanSolver",
+    "ScenarioServer",
 ]
 
 __version__ = "0.1.0"

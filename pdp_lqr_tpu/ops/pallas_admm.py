@@ -412,13 +412,14 @@ def fits_vmem(N, nx, nu, nc, has_shift=False, storage_dtype=None,
 
 
 def admm_chunk(Bt, N, nx, nu, nc, has_shift=False, storage_dtype=None,
-               compute_dtype=jnp.float32) -> int:
+               compute_dtype=jnp.float32, cached=False) -> int:
     """Lane chunk admm_iter_lanes picks for batch Bt — shared-stage
     problem streams must be replicated to (a multiple of) this width
     (solvers/admm.solve_fused handles it in shared mode)."""
     c_item = jnp.dtype(compute_dtype).itemsize
     s_item = jnp.dtype(storage_dtype or compute_dtype).itemsize
-    words, temp = _vmem_words(N, nx, nu, nc, has_shift, s_item, c_item)
+    words, temp = _vmem_words(N, nx, nu, nc, has_shift, s_item, c_item,
+                              cached=cached)
     return _pick_chunk(Bt, words, temp, c_item, budget=_BUDGET)
 
 
@@ -474,11 +475,6 @@ def admm_iter_lanes(A, B, c, Hs, h, D, lb, ub, mask, shift, w, z, y, rho,
     dt = w.dtype          # compute/carry dtype (iterates, outputs)
     has_shift = shift is not None
     cached = factors is not None
-    if shared and cached:
-        raise ValueError(
-            "shared-stage mode is incompatible with cached factors "
-            "(per-instance rho makes the factors per-instance)"
-        )
 
     # Streamed words/lane (double-buffered by the pipeline) and live
     # scratch: the (K, d) spill dominates and scales with N; stage
@@ -511,6 +507,16 @@ def admm_iter_lanes(A, B, c, Hs, h, D, lb, ub, mask, shift, w, z, y, rho,
         mask = _shared_slice("mask", mask, chunk)
         if has_shift:
             shift = _shared_slice("shift", shift, chunk)
+        if cached:
+            # Shared cached factors (valid only under a batch-uniform
+            # rho — solvers/admm enforces uniform_rho): the whole
+            # matrix half of the iteration streams from ONE chunk.
+            Pf, Lf, Kf = factors
+            factors = (
+                _shared_slice("P", Pf, chunk),
+                _shared_slice("L", Lf, chunk),
+                _shared_slice("K", Kf, chunk),
+            )
 
     # Stage-stream specs: time window per phase (both phases / phase-1
     # pinned / phase-2 pinned), lane block b — or 0 for the replicated
@@ -565,8 +571,8 @@ def admm_iter_lanes(A, B, c, Hs, h, D, lb, ub, mask, shift, w, z, y, rho,
         args.append(shift)
     if cached:
         Pf, Lf, Kf = factors
-        in_specs += [ph1(nx, nx, Bt), ph1(nu, nu, Bt),
-                     both(nu, nx, Bt)]                       # Pf Lf Kf
+        in_specs += [ph1_s(nx, nx, Bt), ph1_s(nu, nu, Bt),
+                     both_s(nu, nx, Bt)]                     # Pf Lf Kf
         args += [Pf, Lf, Kf]
     in_specs += [both(nz, Bt), both(nc, Bt), both(nc, Bt)]   # w z y
     args += [w, z, y]

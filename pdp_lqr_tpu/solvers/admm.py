@@ -62,6 +62,12 @@ class ADMMSettings:
     #   — the rho_vecs interface the reference's inner step takes
     #   (lqr_solver.hpp:15-22), driven for real by the outer loop.
     #   1.0 disables.
+    uniform_rho: bool = False     # solve_fused: adapt ONE shared rho
+    #   for the whole batch from the max-over-batch residual imbalance
+    #   instead of per-instance rho.  Trades per-instance adaptivity
+    #   for batch-shared factors: required for cached_factors in the
+    #   shared-stage mode (the cached (P, L, K) then stream from one
+    #   pinned lane chunk — the two biggest levers composed).
     cached_factors: bool = False  # solve_fused (both paths): reuse
     #   the per-stage (P, chol(Huu), K, M) factors across iterations
     #   while rho is unchanged and run the vector-only backward sweep
@@ -451,11 +457,12 @@ def solve_fused(
     N = N1 - 1
     nu, nx, nc = problem.nu, problem.nx, problem.nc
     nz = nu + nx
-    if shared_mode and settings.cached_factors:
+    if shared_mode and settings.cached_factors \
+            and not settings.uniform_rho:
         raise ValueError(
-            "shared-stage solve_fused is incompatible with "
-            "cached_factors (per-instance rho makes the factors "
-            "per-instance); the in-register refactor is cheap here"
+            "shared-stage cached_factors needs uniform_rho=True: "
+            "per-instance rho would make the cached factors "
+            "per-instance, defeating the pinned-chunk streams"
         )
 
     if nc == 0:
@@ -527,9 +534,15 @@ def solve_fused(
 
         # ONE replicated lane chunk for the stage streams; terminal
         # rows (one stage of data) broadcast to the full batch for the
-        # XLA-side terminal update.
+        # XLA-side terminal update.  With cached factors the kernel's
+        # chunk differs — replicate wide enough for both (chunks are
+        # powers of two; each consumer slices down).
         W = pa.admm_chunk(Bb, N, nx, nu, nc, soc_shift is not None,
                           storage_dtype, dt)
+        if settings.cached_factors:
+            W = max(W, pa.admm_chunk(Bb, N, nx, nu, nc,
+                                     soc_shift is not None,
+                                     storage_dtype, dt, cached=True))
         rep = lambda x: jnp.broadcast_to(x[..., None], x.shape + (W,))
         bcB = lambda x: jnp.broadcast_to(x[..., None], x.shape + (Bb,))
         mask1 = _con_mask(problem, cones).astype(dt)  # (N+1, nc)
@@ -550,6 +563,12 @@ def solve_fused(
         HN_l = bcB(problem.H[-1, nu:, nu:] + sigma * jnp.eye(nx, dtype=dt))
         DN_l = bcB(problem.D[-1, :, nu:])             # (nc, nx, B)
         DallN = bcB(problem.D[-1])                    # (nc, nz, B)
+        if settings.cached_factors:
+            # W-wide terminal shares for the shared factor build.
+            HN_W = rep(problem.H[-1, nu:, nu:]
+                       + sigma * jnp.eye(nx, dtype=dt))
+            DN_W = rep(problem.D[-1, :, nu:])
+            scaleN_1 = scale1[-1]                     # (nc,)
         hN_base = bcB(problem.h[-1])                  # (nz, B)
         lbN = bcB(problem.e_lb[-1])
         ubN = bcB(problem.e_ub[-1])
@@ -661,6 +680,11 @@ def solve_fused(
             tiny = jnp.asarray(1e-12, dt)
             rp_rel = r_prim / jnp.maximum(prim_scale, tiny)
             rd_rel = r_dual / jnp.maximum(dual_scale, tiny)
+            if settings.uniform_rho:
+                # ONE shared rho for the whole batch: adapt on the
+                # worst-case imbalance so the factors stay batch-shared.
+                rp_rel = jnp.max(rp_rel)
+                rd_rel = jnp.max(rd_rel)
             ratio = jnp.sqrt(
                 jnp.maximum(rp_rel, tiny) / jnp.maximum(rd_rel, tiny)
             )
@@ -702,15 +726,37 @@ def solve_fused(
             K_f, M_f, P_f, L_f, rho_f = fac[0]
             refactor = jnp.any(rho != rho_f)
 
-            def full_fn(rho_op):
-                rho_vec = rho_op[None, None, :] * rsc
-                K, _, M, _, P, L = pr.backward_lanes(
-                    A_l, B_l, c_l, H_l, jnp.zeros((N, nz, Bb), dt),
-                    Dst_l, rho_vec[:-1], jnp.zeros((N, nc, Bb), dt),
-                    PN, jnp.zeros((nx, Bb), dt), interpret=interpret,
-                    export_factors=True,
-                )
-                return (K, M, P, L, rho_op)
+            if shared_mode:
+                # Batch-uniform rho (enforced above): the factor build
+                # runs ONCE on the W-wide pinned chunk and the cached
+                # (P, L, K) stream shared — the matrix half of the
+                # iteration never pays B in HBM.
+                def full_fn(rho_op):
+                    rho_u = rho_op[0]
+                    rho_vec = rho_u * mask_st            # (N, nc, W)
+                    PN_W = HN_W
+                    for ci in range(nc):
+                        wrow = (rho_u * scaleN_1[ci]) * DN_W[ci]
+                        PN_W = PN_W + DN_W[ci][:, None, :] \
+                            * wrow[None, :, :]
+                    K, _, M, _, P, L = pr.backward_lanes(
+                        A_l, B_l, jnp.zeros((N, nx, W), dt), H_l,
+                        jnp.zeros((N, nz, W), dt),
+                        Dst_l, rho_vec, jnp.zeros((N, nc, W), dt),
+                        PN_W, jnp.zeros((nx, W), dt),
+                        interpret=interpret, export_factors=True,
+                    )
+                    return (K, M, P, L, rho_op)
+            else:
+                def full_fn(rho_op):
+                    rho_vec = rho_op[None, None, :] * rsc
+                    K, _, M, _, P, L = pr.backward_lanes(
+                        A_l, B_l, c_l, H_l, jnp.zeros((N, nz, Bb), dt),
+                        Dst_l, rho_vec[:-1], jnp.zeros((N, nc, Bb), dt),
+                        PN, jnp.zeros((nx, Bb), dt), interpret=interpret,
+                        export_factors=True,
+                    )
+                    return (K, M, P, L, rho_op)
 
             fac_new = jax.lax.cond(
                 refactor, full_fn,
@@ -906,6 +952,9 @@ def solve_fused(
             # OSQP 5.2: relative-residual imbalance.
             rp_rel = r_prim / jnp.maximum(prim_scale, tiny)
             rd_rel = r_dual / jnp.maximum(dual_scale, tiny)
+            if settings.uniform_rho:
+                rp_rel = jnp.max(rp_rel)
+                rd_rel = jnp.max(rd_rel)
             ratio = jnp.sqrt(
                 jnp.maximum(rp_rel, tiny) / jnp.maximum(rd_rel, tiny)
             )
@@ -934,7 +983,8 @@ def solve_fused(
         if state.factors is not None:
             fac0 = state.factors
         else:
-            zf = lambda *dims: jnp.zeros(dims + (Bb,), dt)
+            Wf = W if shared_mode else Bb   # factor lane width
+            zf = lambda *dims: jnp.zeros(dims + (Wf,), dt)
             fac0 = (zf(N, nu, nx), zf(N, nx, nx), zf(N, nx, nx),
                     zf(N, nu, nu), jnp.full((Bb,), -1.0, dt))
         carry0 = carry0 + (fac0,)

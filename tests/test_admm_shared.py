@@ -91,7 +91,7 @@ def test_shared_unconstrained_model():
 
 def test_shared_rejects_cached_and_two_kernel():
     sp, _, x0, _ = _scenarios(B=2)
-    with pytest.raises(ValueError, match="cached_factors"):
+    with pytest.raises(ValueError, match="uniform_rho"):
         admm.solve_fused(
             sp, x0, (),
             dataclasses.replace(SETTINGS, cached_factors=True),
@@ -99,3 +99,35 @@ def test_shared_rejects_cached_and_two_kernel():
     with pytest.raises(ValueError, match="single-kernel"):
         admm.solve_fused(sp, x0, (), SETTINGS, interpret=True,
                          single_kernel=False)
+
+
+def test_shared_cached_uniform_rho_matches_uncached():
+    """Shared cached factors (batch-uniform rho) == the shared
+    refactor-every-iteration path: the W-wide factor build + pinned
+    (P, L, K) streams change nothing numerically while rho holds, and
+    the uniform-rho rule moves rho identically in both."""
+    sp, _, x0, _ = _scenarios(B=3)
+    st_u = dataclasses.replace(SETTINGS, uniform_rho=True)
+    ws_un, state_un, info_un = admm.solve_fused(
+        sp, x0, (), st_u, interpret=True, single_kernel=True)
+    st_c = dataclasses.replace(st_u, cached_factors=True)
+    ws_c, state_c, info_c = admm.solve_fused(
+        sp, x0, (), st_c, interpret=True, single_kernel=True)
+    np.testing.assert_allclose(
+        np.asarray(ws_c), np.asarray(ws_un), atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(state_c.rho), np.asarray(state_un.rho), rtol=1e-12)
+    # rho stayed batch-uniform throughout.
+    assert float(jnp.max(jnp.abs(state_c.rho - state_c.rho[0]))) == 0.0
+
+
+def test_uniform_rho_replicated_consistency():
+    """uniform_rho on the replicated path: one rho trajectory for the
+    whole batch, finite results, residuals comparable to per-instance
+    adaptation on identical instances."""
+    sp, bp, x0, _ = _scenarios(B=3)
+    st_u = dataclasses.replace(SETTINGS, uniform_rho=True)
+    ws, state, info = admm.solve_fused(
+        bp, x0, (), st_u, interpret=True, single_kernel=True)
+    assert bool(jnp.all(jnp.isfinite(ws)))
+    assert float(jnp.max(jnp.abs(state.rho - state.rho[0]))) == 0.0

@@ -139,3 +139,47 @@ def test_no_per_call_recompilation():
         solver.backward()
         solver.forward(x0)
         assert fn_first._cache_size() == n_traces, cls.__name__
+
+
+def test_scenario_server():
+    """One-model-many-scenarios serving API (shared-stage kernels)."""
+    import numpy as np
+
+    from pdp_lqr_tpu.models import quadrotor
+    from pdp_lqr_tpu.solvers import dense
+    from pdp_lqr_tpu import init_iterates
+    import jax
+
+    problem, _ = quadrotor(N=10, constrained=True)
+    server = api.ScenarioServer(problem, rho=0.01)
+    B = 3
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.normal(size=(B, problem.nx)) * 0.1)
+    c_b = problem.c[None] + jnp.asarray(
+        rng.normal(size=(B,) + problem.c.shape) * 0.01)
+
+    ws = server.solve(x0s, c=c_b)
+    assert ws.shape == (B, problem.N + 1, problem.nz)
+    # Parity vs the dense backend on the replicated batch.
+    import dataclasses
+
+    tile = lambda x: jnp.broadcast_to(x, (B,) + x.shape)
+    bp = dataclasses.replace(jax.tree.map(tile, problem), c=c_b)
+    its = jax.vmap(lambda p: init_iterates(p, rho=0.01))(bp)
+    ws_d, _ = dense.solve_batched(bp, its, x0s, 1e-6)
+    np.testing.assert_allclose(np.asarray(ws), np.asarray(ws_d),
+                               atol=1e-9)
+
+    # Full conic ADMM over the scenario batch + warm-started tick.
+    from pdp_lqr_tpu.solvers.admm import ADMMSettings
+
+    st = ADMMSettings(max_iter=8, rho_update_interval=4,
+                      eps_abs=1e-4, eps_rel=1e-4)
+    ws_a, state, info = server.solve_admm(x0s, (), st, c=c_b)
+    assert ws_a.shape == (B, problem.N + 1, problem.nz)
+    assert bool(jnp.all(jnp.isfinite(ws_a)))
+    ws_b, _, _ = server.solve_admm(x0s, (), st, state=state, c=c_b)
+    assert bool(jnp.all(jnp.isfinite(ws_b)))
+
+    with pytest.raises(ValueError, match="UNBATCHED"):
+        api.ScenarioServer(bp)
