@@ -88,6 +88,29 @@ WORKER = textwrap.dedent("""
     assert ws.shape == (4, 9, 16)
     assert bool(jnp.all(jnp.isfinite(ws)))
     print("SMOKE-SOLVE-OK", pid, flush=True)
+
+    # Time-sharded PDP across BOTH processes: mesh ("batch"=2,
+    # "time"=2) with the horizon axis split within each process's two
+    # devices and batch across processes — the boundary all-gather
+    # actually rides the distributed backend.
+    from pdp_lqr_tpu.parallel import pdp_sharded
+
+    mesh2 = multihost.make_pod_mesh(time=2)
+    N2 = 8
+    p2, _ = quadrotor(N=N2, constrained=True, dtype=jnp.float32)
+    b2 = 1   # one instance per process -> global batch 2
+    tile2 = lambda x: np.broadcast_to(np.asarray(x), (b2,) + x.shape)
+    bp2_local = jax.tree.map(tile2, p2)
+    x02_local = rng.normal(size=(b2, p2.nx)).astype(np.float32) * 0.1
+    tg2 = lambda x: multihost_utils.host_local_array_to_global_array(
+        x, mesh2, P("batch"))
+    bp2 = jax.tree.map(tg2, bp2_local)
+    x02 = tg2(x02_local)
+    its2 = jax.vmap(lambda p: init_iterates(p, rho=0.01))(bp2)
+    ws2 = pdp_sharded.solve(mesh2, bp2, its2, x02, sigma=1e-6)
+    assert ws2.shape == (2, N2 + 1, p2.nz)
+    assert bool(jnp.all(jnp.isfinite(ws2)))
+    print("SMOKE-PDP-OK", pid, flush=True)
 """)
 
 
@@ -131,3 +154,4 @@ def test_two_process_distributed_solve(tmp_path):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
         assert f"SMOKE-VIEW-OK {pid}" in out, out
         assert f"SMOKE-SOLVE-OK {pid}" in out, out
+        assert f"SMOKE-PDP-OK {pid}" in out, out

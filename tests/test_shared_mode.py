@@ -160,3 +160,47 @@ def test_shared_rejects_batched_model():
         pr.prepare_shared(bp, it, x0, SIGMA)
     with pytest.raises(ValueError, match="unbatched.*rho"):
         pr.prepare_shared(sp, bit, x0, SIGMA)
+
+
+def test_shared_horizon_one():
+    """N=1 edge: single backward step, single rollout step."""
+    problem, _ = quadrotor(N=1, constrained=True)
+    sp, it, x0 = _scenarios(problem, B=2)
+    ws_sh = pr.solve_shared(sp, it, x0, SIGMA, interpret=True)
+    bp, bit = _replicated(sp, it, x0)
+    ws_d, _ = dense.solve_batched(bp, bit, x0, SIGMA)
+    np.testing.assert_allclose(
+        np.asarray(ws_sh), np.asarray(ws_d), atol=1e-9)
+
+
+def test_shared_ragged_constraint_padding():
+    """Per-stage variable constraint counts (reference ncs) through the
+    shared path: padded zero-rho rows must stay exact."""
+    from pdp_lqr_tpu.problem import build_problem
+
+    rng = np.random.default_rng(5)
+    nx, nu, N = 4, 2, 6
+    A = np.eye(nx) + 0.05 * rng.normal(size=(nx, nx))
+    B = rng.normal(size=(nx, nu))
+    stage_cons = []
+    for k in range(N + 1):
+        if k % 3 == 0:
+            stage_cons.append(None)                    # no rows
+        elif k % 3 == 1:
+            D1 = np.zeros((1, nu + nx)); D1[0, 0] = 1.0
+            stage_cons.append((D1, [-0.5], [0.5]))     # one row
+        else:
+            D2 = rng.normal(size=(2, nu + nx)) * 0.3
+            if k == N:
+                D2[:, :nu] = 0.0                       # terminal: x only
+            stage_cons.append((D2, [-1.0, -1.0], [1.0, 1.0]))
+    problem = build_problem(
+        A=A, B=B, c=np.zeros(nx), Q=np.eye(nx), R=0.1 * np.eye(nu),
+        q=rng.normal(size=nx) * 0.1, r=None,
+        stage_constraints=stage_cons, N=N)
+    sp, it, x0 = _scenarios(problem, B=3, batched_iterates=True)
+    ws_sh = pr.solve_shared(sp, it, x0, SIGMA, interpret=True)
+    bp, bit = _replicated(sp, it, x0)
+    ws_d, _ = dense.solve_batched(bp, bit, x0, SIGMA)
+    np.testing.assert_allclose(
+        np.asarray(ws_sh), np.asarray(ws_d), atol=1e-9)
