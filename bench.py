@@ -449,11 +449,25 @@ def main():
         if args.resident:
             prep0 = pallas_riccati.prepare_shared(
                 dataclasses.replace(base, c=c_b), its1, x0, 1e-6)
-            step_args, nu_static = prep0[:-1], prep0[-1]
+            nu_static = prep0[-1]
+            if args.cached:
+                # Steady-state serving: factors built once (the
+                # reference's backward_without_factorization pattern
+                # across replans); per-solve work is the vector sweep
+                # + rollout only.
+                fac0 = pallas_riccati.shared_factors(prep0)
+                step_args = prep0[:-1] + fac0
 
-            def step(*arrays):
-                return pallas_riccati.solve_shared_prepared(
-                    arrays + (nu_static,), interpret=on_cpu)
+                def step(*arrays):
+                    return pallas_riccati.solve_shared_cached(
+                        arrays[:10] + (nu_static,), arrays[10:],
+                        interpret=on_cpu)
+            else:
+                step_args = prep0[:-1]
+
+                def step(*arrays):
+                    return pallas_riccati.solve_shared_prepared(
+                        arrays + (nu_static,), interpret=on_cpu)
         else:
             step_args = (base, c_b, its1, x0)
 
@@ -541,6 +555,8 @@ def main():
     solves_per_s = B * args.iters / dt
     label = solver_name + ("+shared" if shared else "") \
         + ("+resident" if args.resident else "") \
+        + ("+cached" if (shared and args.resident and args.cached)
+           else "") \
         + ("+bf16" if args.bf16 else "")
     if args.model != "quadrotor":
         label = f"{args.model}, {label}"

@@ -1082,7 +1082,42 @@ def _forward_kernel(nu, nx, T,
         xN_ref[:] = x
 
 
-def forward_lanes(M, v, K, d, x0, *, interpret=False, shared=False):
+def _forward_kernel_il(nu, nx, T, chunk,
+                       M_ref, v_ref, K_ref, d_ref, x0_ref,
+                       ws_ref, xN_ref, x_scr):
+    """Chunk-interleaved rollout: grid (N//T, n_chunks) with the lane
+    chunk as the MINOR dimension, so consecutive grid steps advance
+    DIFFERENT chunks' x-carries — the sequential dependency between a
+    chunk's stages is n_chunks grid steps apart, letting the VPU
+    pipeline one chunk's stage while another's carry is still in
+    flight (the carry-chain latency diagnosed in
+    docs/KERNEL_DESIGN.md).  Carries live in one full-width scratch,
+    sliced per chunk."""
+    t = pl.program_id(0)
+    c = pl.program_id(1)
+    nt = pl.num_programs(0)
+    sl = pl.ds(c * chunk, chunk)
+
+    @pl.when(t == 0)
+    def _():
+        x_scr[:, sl] = x0_ref[:]
+
+    x = x_scr[:, sl]
+    for i in range(T):
+        K = K_ref[i]
+        d = d_ref[i]
+        u = _mv(K, x) + d
+        ws_ref[i] = jnp.concatenate([u, x], axis=0)
+        x = _mv(M_ref[i], x) + v_ref[i]
+    x_scr[:, sl] = x
+
+    @pl.when(t == nt - 1)
+    def _():
+        xN_ref[:] = x
+
+
+def forward_lanes(M, v, K, d, x0, *, interpret=False, shared=False,
+                  interleave=False):
     """Closed-loop rollout; returns (ws (N, nz, B), xN (nx, B)).
 
     ``shared=True`` is the broadcast (shared-stage) mode: the matrix
@@ -1090,7 +1125,11 @@ def forward_lanes(M, v, K, d, x0, *, interpret=False, shared=False):
     multiple of forward_chunk(B, ...)) pinned to lane block 0, while
     the per-instance vectors (v, d, x0, ws) run the full batch — one
     shared model serving B scenarios streams its closed-loop maps from
-    HBM once per chunk instead of B times."""
+    HBM once per chunk instead of B times.
+
+    ``interleave=True`` makes the lane chunk the MINOR grid dimension
+    (see _forward_kernel_il): multi-chunk batches hide the x-carry
+    dependency by rotating through independent chunks."""
     N, nx = M.shape[0], M.shape[1]
     nu = K.shape[1]
     Bt = v.shape[-1]
@@ -1105,27 +1144,52 @@ def forward_lanes(M, v, K, d, x0, *, interpret=False, shared=False):
     n_chunks = Bt // chunk
     T = _pick_stages(N, words, 4 * nx * nx, chunk,
                      jnp.dtype(dt).itemsize)
+    interleave = interleave and n_chunks > 1
 
-    stage = lambda *dims: pl.BlockSpec(
-        (T,) + dims[:-1] + (chunk,),
-        lambda b, t: (t,) + (0,) * (len(dims) - 1) + (b,),
-        memory_space=pltpu.VMEM,
-    )
-    stage_sh = (lambda *dims: pl.BlockSpec(
-        (T,) + dims[:-1] + (chunk,),
-        lambda b, t: (t,) + (0,) * (len(dims) - 1) + (0,),
-        memory_space=pltpu.VMEM,
-    )) if shared else stage
-    whole = lambda *dims: pl.BlockSpec(
-        dims[:-1] + (chunk,),
-        lambda b, t: (0,) * (len(dims) - 1) + (b,),
-        memory_space=pltpu.VMEM,
-    )
+    if interleave:
+        # Grid (time, chunk): chunk minor.  Index maps take (t, c).
+        stage = lambda *dims: pl.BlockSpec(
+            (T,) + dims[:-1] + (chunk,),
+            lambda t, c: (t,) + (0,) * (len(dims) - 1) + (c,),
+            memory_space=pltpu.VMEM,
+        )
+        stage_sh_ = lambda *dims: pl.BlockSpec(
+            (T,) + dims[:-1] + (chunk,),
+            lambda t, c: (t,) + (0,) * (len(dims) - 1) + (0,),
+            memory_space=pltpu.VMEM,
+        )
+        whole = lambda *dims: pl.BlockSpec(
+            dims[:-1] + (chunk,),
+            lambda t, c: (0,) * (len(dims) - 1) + (c,),
+            memory_space=pltpu.VMEM,
+        )
+        stage_sh = stage_sh_ if shared else stage
+        kernel = functools.partial(_forward_kernel_il, nu, nx, T, chunk)
+        grid = (N // T, n_chunks)
+        scratch = [pltpu.VMEM((nx, Bt), dt)]
+    else:
+        stage = lambda *dims: pl.BlockSpec(
+            (T,) + dims[:-1] + (chunk,),
+            lambda b, t: (t,) + (0,) * (len(dims) - 1) + (b,),
+            memory_space=pltpu.VMEM,
+        )
+        stage_sh = (lambda *dims: pl.BlockSpec(
+            (T,) + dims[:-1] + (chunk,),
+            lambda b, t: (t,) + (0,) * (len(dims) - 1) + (0,),
+            memory_space=pltpu.VMEM,
+        )) if shared else stage
+        whole = lambda *dims: pl.BlockSpec(
+            dims[:-1] + (chunk,),
+            lambda b, t: (0,) * (len(dims) - 1) + (b,),
+            memory_space=pltpu.VMEM,
+        )
+        kernel = functools.partial(_forward_kernel, nu, nx, T)
+        grid = (n_chunks, N // T)
+        scratch = [pltpu.VMEM((nx, chunk), dt)]
 
-    kernel = functools.partial(_forward_kernel, nu, nx, T)
     return pl.pallas_call(
         kernel,
-        grid=(n_chunks, N // T),
+        grid=grid,
         in_specs=[
             stage_sh(nx, nx, Bt), stage(nx, Bt),
             stage_sh(nu, nx, Bt), stage(nu, Bt),
@@ -1136,7 +1200,7 @@ def forward_lanes(M, v, K, d, x0, *, interpret=False, shared=False):
             jax.ShapeDtypeStruct((N, nz, Bt), dt),
             jax.ShapeDtypeStruct((nx, Bt), dt),
         ),
-        scratch_shapes=[pltpu.VMEM((nx, chunk), dt)],
+        scratch_shapes=scratch,
         compiler_params=_compiler_params(interpret),
         interpret=interpret,
     )(M, v, K, d, x0)
@@ -1453,3 +1517,52 @@ def solve_shared(problem, it, x0, sigma: float, *, interpret=False):
     Returns ws (B, N+1, nz), matching solve_lanes on a broadcast batch."""
     prep = prepare_shared(problem, it, x0, sigma)
     return solve_shared_prepared(prep, interpret=interpret)
+
+
+def shared_factors(prep, *, interpret=False):
+    """Run ONLY the matrix sweep of the shared pipeline and return the
+    cached factors (K, M, P, L) — the reference's factorization state
+    that ``backward_without_factorization`` reuses
+    (lqr_kernel.hpp:93-101).  Valid while the model matrices and rho
+    are unchanged; solve_shared_cached then runs pure vector work per
+    solve (the steady-state MPC/serving pattern: update_problem_data +
+    backward_without_factorization + forward across replans)."""
+    (A_sh, B_sh, H_sh, D_sh, rho_sh, PN_sh,
+     _c, _hf, _pN, _x0, nu) = prep
+    N, nx = A_sh.shape[0], A_sh.shape[1]
+    W = A_sh.shape[-1]
+    nz = H_sh.shape[1]
+    nc = D_sh.shape[1]
+    dt = A_sh.dtype
+    zc = jnp.zeros((N, nx, W), dt)
+    zh = jnp.zeros((N, nz, W), dt)
+    zrg = jnp.zeros((N, nc, W), dt)
+    zpN = jnp.zeros((nx, W), dt)
+    K, _, M, _, P, L = backward_lanes(
+        A_sh, B_sh, zc, H_sh, zh, D_sh, rho_sh, zrg, PN_sh, zpN,
+        interpret=interpret, export_factors=True,
+    )
+    return (K, M, P, L)
+
+
+def solve_shared_cached(prep, factors, *, interpret=False):
+    """Shared solve on pre-built factors: vector sweep + rollout only
+    (the with/without-factorization split at serving granularity).
+    ``factors`` from shared_factors(prep) — rebuild them whenever the
+    model matrices or rho change; the per-solve inputs (c, hf, pN, x0)
+    come from ``prep`` as usual."""
+    (A_sh, B_sh, _H, _D, _rho, _PN,
+     c_l, hf_l, pN_l, x0_l, nu) = prep
+    K, M, P, L = factors
+    d, v = backward_vectors_lanes(
+        A_sh, B_sh, c_l, hf_l, P, K, L, pN_l,
+        interpret=interpret, shared=True,
+    )
+    ws, xN = forward_lanes(M, v, K, d, x0_l, interpret=interpret,
+                           shared=True)
+    ws = from_lanes(ws)
+    xN = jnp.moveaxis(xN, -1, 0)
+    wN = jnp.concatenate(
+        [jnp.zeros(xN.shape[:-1] + (nu,), ws.dtype), xN], axis=-1
+    )
+    return jnp.concatenate([ws, wN[:, None, :]], axis=1)

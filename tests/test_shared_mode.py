@@ -204,3 +204,16 @@ def test_shared_ragged_constraint_padding():
     ws_d, _ = dense.solve_batched(bp, bit, x0, SIGMA)
     np.testing.assert_allclose(
         np.asarray(ws_sh), np.asarray(ws_d), atol=1e-9)
+
+
+def test_shared_cached_factors_match_full():
+    """shared_factors + solve_shared_cached == solve_shared (the
+    serving-granularity without-factorization split)."""
+    problem, _ = quadrotor(N=8, constrained=True)
+    sp, it, x0 = _scenarios(problem, B=3, batched_iterates=True)
+    prep = pr.prepare_shared(sp, it, x0, SIGMA)
+    ws_full = pr.solve_shared_prepared(prep, interpret=True)
+    fac = pr.shared_factors(prep, interpret=True)
+    ws_cached = pr.solve_shared_cached(prep, fac, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(ws_cached), np.asarray(ws_full), atol=1e-12)
