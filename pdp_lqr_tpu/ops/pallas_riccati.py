@@ -1288,6 +1288,224 @@ def forward_rollout_lanes(A, B, c, K, d, x0, *, interpret=False):
     )(A, B, c, K, d, x0)
 
 
+# ------------------------------------------------------- packed-stream kernels
+#
+# Measured (one v5e, ABA-stable): the sweep kernels' per-grid-step cost
+# is dominated by PER-WINDOW DMA issue overhead, not bandwidth, stride,
+# carry latency, or compute — a stripped no-math forward with the same
+# 5 input windows ran at the full kernel's speed (6.1 vs 6.0 ms at
+# B=2048 N=512), while the same bytes through ONE packed window ran in
+# 2.3 ms (414 GB/s — the machine's achieved stream rate; XLA moves the
+# same data at 382 GB/s).  These variants therefore pack the per-stage
+# streams into single row-concatenated arrays: the backward kernel
+# reads (dyn | cost) and writes one (K|d) gain block; the rollout
+# reads (dyn, gains).  Math is identical to _backward_kernel /
+# _forward_abc_kernel (slices + in-kernel reshape are free).
+
+def _backward_packed_kernel(nu, nx, nc, T,
+                            Sd_ref, Sc_ref, PN_ref, pN_ref,
+                            G_ref, P_scr, p_scr):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        P_scr[:] = PN_ref[:]
+        p_scr[:] = pN_ref[:]
+
+    cdt = P_scr.dtype
+    nz = nx + nu
+    P = P_scr[:]
+    p = p_scr[:]
+    for i in range(T - 1, -1, -1):
+        Sd = Sd_ref[i].astype(cdt)
+        A = Sd[:nx * nx].reshape(nx, nx, Sd.shape[-1])
+        Bm = Sd[nx * nx:nx * nx + nx * nu].reshape(nx, nu, Sd.shape[-1])
+        c = Sd[nx * nx + nx * nu:]
+        Sc = Sc_ref[i].astype(cdt)
+        H = Sc[:nz * nz].reshape(nz, nz, Sc.shape[-1])
+        h = Sc[nz * nz:nz * nz + nz]
+        if nc > 0:
+            off = nz * nz + nz
+            D = Sc[off:off + nc * nz].reshape(nc, nz, Sc.shape[-1])
+            rho = Sc[off + nc * nz:off + nc * nz + nc]
+            rg = Sc[off + nc * nz + nc:]
+            for ci in range(nc):
+                w = rho[ci] * D[ci]
+                rows = []
+                for r_i in range(H.shape[0]):
+                    rows.append(H[r_i] + D[ci, r_i][None, :] * w)
+                H = jnp.stack(rows, axis=0)
+                h = h - rg[ci][None, :] * D[ci]
+
+        R = H[:nu, :nu]
+        S = H[:nu, nu:]
+        Q = H[nu:, nu:]
+        r = h[:nu]
+        q = h[nu:]
+
+        PA = _mm(P, A)
+        PB = _mm(P, Bm)
+        Pcp = _mv(P, c) + p
+        G = S + _mtm(Bm, PA)
+        rbar = r + _mtv(Bm, Pcp)
+
+        L = _chol_lanes(_low_rows(R, Bm, PB))
+        sol = _chol_solve_rows(
+            L,
+            [jnp.concatenate([G[gi], rbar[gi][None, :]], axis=0)
+             for gi in range(nu)],
+        )
+        K = -jnp.stack([sol[gi][:nx] for gi in range(nu)], axis=0)
+        d = -jnp.stack([sol[gi][nx] for gi in range(nu)], axis=0)
+
+        Pn = _mtm_sym([(A, PA), (G, K)], Q)
+        pn = q + _mtv(A, Pcp) + _mtv(K, rbar)
+
+        G_ref[i] = jnp.concatenate(
+            [K.reshape(nu * nx, K.shape[-1]), d], axis=0)
+        P = Pn
+        p = pn
+
+    P_scr[:] = P
+    p_scr[:] = p
+
+
+def _forward_packed_kernel(nu, nx, T,
+                           Sd_ref, G_ref, x0_ref,
+                           ws_ref, xN_ref, x_scr):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        x_scr[:] = x0_ref[:]
+
+    cdt = x_scr.dtype
+    x = x_scr[:]
+    for i in range(T):
+        Sd = Sd_ref[i].astype(cdt)
+        ch = Sd.shape[-1]
+        A = Sd[:nx * nx].reshape(nx, nx, ch)
+        Bm = Sd[nx * nx:nx * nx + nx * nu].reshape(nx, nu, ch)
+        c = Sd[nx * nx + nx * nu:]
+        G = G_ref[i]
+        K = G[:nu * nx].reshape(nu, nx, ch)
+        d = G[nu * nx:]
+        u = _mv(K, x) + d
+        ws_ref[i] = jnp.concatenate([u, x], axis=0)
+        x = _mv(A, x) + _mv(Bm, u) + c
+    x_scr[:] = x
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _():
+        xN_ref[:] = x
+
+
+def backward_packed(Sd, Sc, PN, pN, nu, nc, *, interpret=False):
+    """Packed-stream (K, d)-only backward sweep.
+
+    ``Sd`` (N, nx*nx + nx*nu + nx, B) the row-packed (A | B | c)
+    dynamics stream; ``Sc`` (N, nz*nz + nz + nc*nz + 2nc, B) the
+    row-packed (H~ | h~ | D | rho | rho*g) cost stream; PN/pN the
+    folded terminal cost-to-go.  Returns the packed gain stream
+    G (N, nu*nx + nu, B).  Same math as backward_lanes
+    (emit_closed_loop=False) through ONE input window per stream —
+    the measured per-window DMA overhead fix (see section comment).
+    """
+    N = Sd.shape[0]
+    Bt = Sd.shape[-1]
+    # Sd rows = nx^2 + nx*nu + nx = nx*(nx + nu + 1): recover nx.
+    import math
+
+    nx = int((-(nu + 1) + math.isqrt((nu + 1) ** 2 + 4 * Sd.shape[1]))
+             // 2)
+    nz = nx + nu
+    dt = PN.dtype
+
+    words = Sd.shape[1] + Sc.shape[1] + (nu * nx + nu) \
+        + 2 * (nx * nx + nx)
+    chunk = _pick_chunk(Bt, words, 12 * nz * nz, jnp.dtype(dt).itemsize)
+    n_chunks = Bt // chunk
+    T = _pick_stages(N, words, 12 * nz * nz, chunk,
+                     jnp.dtype(dt).itemsize)
+
+    stage = lambda rows: pl.BlockSpec(
+        (T, rows, chunk),
+        lambda b, t: (N // T - 1 - t, 0, b),
+        memory_space=pltpu.VMEM,
+    )
+    whole = lambda *dims: pl.BlockSpec(
+        dims[:-1] + (chunk,),
+        lambda b, t: (0,) * (len(dims) - 1) + (b,),
+        memory_space=pltpu.VMEM,
+    )
+
+    kernel = functools.partial(_backward_packed_kernel, nu, nx, nc, T)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_chunks, N // T),
+        in_specs=[
+            stage(Sd.shape[1]), stage(Sc.shape[1]),
+            whole(nx, nx, Bt), whole(nx, Bt),
+        ],
+        out_specs=stage(nu * nx + nu),
+        out_shape=jax.ShapeDtypeStruct((N, nu * nx + nu, Bt), dt),
+        scratch_shapes=[
+            pltpu.VMEM((nx, nx, chunk), dt),
+            pltpu.VMEM((nx, chunk), dt),
+        ],
+        compiler_params=_compiler_params(interpret),
+        interpret=interpret,
+    )(Sd, Sc, PN, pN)
+
+
+def forward_packed(Sd, G, x0, nu, *, interpret=False):
+    """Packed-stream rollout from the raw dynamics: ``Sd`` as in
+    backward_packed, ``G`` its packed gain output, x0 (nx, B).
+    Returns (ws (N, nz, B), xN (nx, B))."""
+    import math
+
+    N = Sd.shape[0]
+    Bt = Sd.shape[-1]
+    nx = int((-(nu + 1) + math.isqrt((nu + 1) ** 2 + 4 * Sd.shape[1]))
+             // 2)
+    nz = nx + nu
+    dt = G.dtype
+    sitem = jnp.dtype(Sd.dtype).itemsize / jnp.dtype(dt).itemsize
+
+    words = int(sitem * Sd.shape[1]) + G.shape[1] + nz + nx
+    chunk = _pick_chunk(Bt, words, 4 * nx * nx, jnp.dtype(dt).itemsize)
+    n_chunks = Bt // chunk
+    T = _pick_stages(N, words, 4 * nx * nx, chunk,
+                     jnp.dtype(dt).itemsize)
+
+    stage = lambda rows: pl.BlockSpec(
+        (T, rows, chunk),
+        lambda b, t: (t, 0, b),
+        memory_space=pltpu.VMEM,
+    )
+    whole = lambda *dims: pl.BlockSpec(
+        dims[:-1] + (chunk,),
+        lambda b, t: (0,) * (len(dims) - 1) + (b,),
+        memory_space=pltpu.VMEM,
+    )
+
+    kernel = functools.partial(_forward_packed_kernel, nu, nx, T)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_chunks, N // T),
+        in_specs=[stage(Sd.shape[1]), stage(G.shape[1]),
+                  whole(nx, Bt)],
+        out_specs=(stage(nz), whole(nx, Bt)),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, nz, Bt), dt),
+            jax.ShapeDtypeStruct((nx, Bt), dt),
+        ),
+        scratch_shapes=[pltpu.VMEM((nx, chunk), dt)],
+        compiler_params=_compiler_params(interpret),
+        interpret=interpret,
+    )(Sd, G, x0)
+
+
 # -------------------------------------------------------------- high-level API
 
 def to_lanes(x):
@@ -1362,6 +1580,49 @@ def solve_prepared(prep, *, interpret=False):
         [jnp.zeros(xN.shape[:-1] + (nu,), ws.dtype), xN], axis=-1
     )
     return jnp.concatenate([ws, wN[:, None, :]], axis=1)
+
+
+def prepare_packed(problem, it, x0, sigma: float, storage_dtype=None):
+    """Packed-stream preparation: the prepare_lanes layout with the
+    per-stage streams row-concatenated into two arrays —
+    Sd = (A | B | c) and Sc = (H~ | h~ | D | rho | rho*g) — so each
+    sweep kernel reads ONE window per stream (the measured per-window
+    DMA overhead fix; see the packed-stream section comment).
+    Returns the argument tuple for solve_packed_prepared."""
+    prep = prepare_lanes(problem, it, x0, sigma, storage_dtype)
+    A, B, c, H, h, D, rho, rg, PN, pN, x0_l, nu = prep
+    N = A.shape[0]
+    Bt = A.shape[-1]
+    nc = D.shape[1]
+    flat = lambda x: x.reshape(N, -1, Bt)
+    Sd = jnp.concatenate([flat(A), flat(B), c], axis=1)
+    parts = [flat(H), h]
+    if nc:
+        parts += [flat(D), rho, rg]
+    Sc = jnp.concatenate(parts, axis=1)
+    return (Sd, Sc, PN, pN, x0_l, nu, nc)
+
+
+def solve_packed_prepared(prep, *, interpret=False):
+    """Run the packed-stream kernel pair -> ws (B, N+1, nz)."""
+    Sd, Sc, PN, pN, x0_l, nu, nc = prep
+    G = backward_packed(Sd, Sc, PN, pN, nu, nc, interpret=interpret)
+    ws, xN = forward_packed(Sd, G, x0_l, nu, interpret=interpret)
+    ws = from_lanes(ws)
+    xN = jnp.moveaxis(xN, -1, 0)
+    wN = jnp.concatenate(
+        [jnp.zeros(xN.shape[:-1] + (nu,), ws.dtype), xN], axis=-1
+    )
+    return jnp.concatenate([ws, wN[:, None, :]], axis=1)
+
+
+def solve_packed(problem, it, x0, sigma: float, *, storage_dtype=None,
+                 interpret=False):
+    """Full batched solve through the packed-stream kernels (same
+    contract as solve_lanes; measured ~1.7-2.5x on the v5e from the
+    window-count reduction)."""
+    prep = prepare_packed(problem, it, x0, sigma, storage_dtype)
+    return solve_packed_prepared(prep, interpret=interpret)
 
 
 def solve_lanes(problem, it, x0, sigma: float, *, storage_dtype=None,

@@ -133,3 +133,18 @@ def test_bf16_storage_mode():
     err = np.abs(np.asarray(ws16) - np.asarray(ws32)).max() / scale
     assert err < 2e-2, err
     assert np.all(np.isfinite(np.asarray(ws16)))
+
+
+def test_packed_stream_kernels_match_lanes():
+    """Packed-stream kernel pair (solve_packed) == solve_lanes
+    bit-for-bit: same math through single row-concatenated windows
+    (the per-window DMA overhead experiment; see KERNEL_DESIGN.md)."""
+    for constrained in (False, True):
+        problem, _ = quadrotor(N=10, constrained=constrained)
+        bp, its, x0 = _batch(problem, B=3)
+        ws_l = pallas_riccati.solve_lanes(bp, its, x0, SIGMA,
+                                          interpret=True)
+        ws_p = pallas_riccati.solve_packed(bp, its, x0, SIGMA,
+                                           interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(ws_p), np.asarray(ws_l), atol=1e-12)
