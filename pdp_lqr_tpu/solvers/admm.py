@@ -887,8 +887,12 @@ def solve_fused(
 
             def full_fn(op):
                 h_t, rg, rho = op
+                # rsc (mask * eq-boost), NOT the plain mask: the factor
+                # build must see the same boosted rho as the vector
+                # folds, or the cached fixed point violates KKT
+                # stationarity by D^T (rho_boost - rho) z on eq rows.
                 K, d, M, v, P, L = _full(
-                    h_t, rg, rho[None, None, :] * mask, pN)
+                    h_t, rg, rho[None, None, :] * rsc, pN)
                 return (K, M, P, L, rho), d, v
 
             def vec_fn(op):
@@ -975,9 +979,17 @@ def solve_fused(
         jnp.full((Bb,), jnp.inf, dt),
         jnp.zeros((Bb,), bool),
     )
+    rho0 = jnp.broadcast_to(jnp.asarray(state.rho, dt), (Bb,))
+    if shared_mode and settings.cached_factors:
+        # The shared factor build reads rho[0] and the max-based
+        # adaptation only PRESERVES uniformity — a warm-start state
+        # carrying per-instance rho (e.g. from a prior per-instance
+        # run) would yield factors valid only for lane 0.  Collapse to
+        # the batch max (the conservative OSQP choice) so the uniform
+        # invariant holds from iteration 0.
+        rho0 = jnp.broadcast_to(jnp.max(rho0), (Bb,))
     carry0 = (
-        l3(state.w), l3(state.z), l3(state.y),
-        jnp.broadcast_to(jnp.asarray(state.rho, dt), (Bb,)), stats0,
+        l3(state.w), l3(state.z), l3(state.y), rho0, stats0,
     )
     if settings.cached_factors:
         if state.factors is not None:

@@ -157,3 +157,15 @@ def test_rho_eq_boost_kernel_parity():
         np.asarray(ws_1k), np.asarray(ws_2k), atol=1e-9)
     np.testing.assert_allclose(
         np.asarray(ws_2k[0]), np.asarray(ws_s), atol=1e-8)
+    # Cached-factor paths must build factors with the SAME boosted rho
+    # as the vector folds (a plain-mask factor build converges to the
+    # wrong fixed point on equality rows).
+    stc = dataclasses.replace(st, cached_factors=True)
+    ws_2kc, _, _ = admm.solve_fused(bp, x0, (), stc, interpret=True,
+                                    single_kernel=False)
+    ws_1kc, _, _ = admm.solve_fused(bp, x0, (), stc, interpret=True,
+                                    single_kernel=True)
+    np.testing.assert_allclose(
+        np.asarray(ws_2kc), np.asarray(ws_2k), atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(ws_1kc), np.asarray(ws_1k), atol=1e-9)
