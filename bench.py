@@ -264,7 +264,7 @@ def run_admm_bench(args, on_cpu: bool, backend: str) -> int:
     from pdp_lqr_tpu.solvers import admm
 
     B = args.batch if args.batch is not None else (8 if on_cpu else 1024)
-    N = args.horizon if args.horizon != 512 else 64   # short-horizon path
+    N = args.horizon   # honest: --horizon 512 used to silently run 64
     K = args.admm
     problem, _ = quadrotor(N=N, constrained=True, dtype=jnp.float32)
     # Shared-stage broadcast mode: one model in HBM, B scenario

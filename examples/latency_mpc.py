@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--horizon", type=int, default=64)
     ap.add_argument("--admm-iters", type=int, default=20)
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--model", default="quadrotor",
+                    choices=["quadrotor", "centroidal", "mass_spring"],
+                    help="BASELINE.json config family (config #5 = "
+                         "centroidal nx=24 at --horizon 1024)")
     ap.add_argument("--segments", type=int, default=0,
                     help="segments for the condensed realtime operator "
                          "(0 = auto ~ sqrt(M/2nx); must divide N)")
@@ -52,14 +56,37 @@ def main():
                     help="skip the slow XLA B=1 section (long horizons)")
     ap.add_argument("--skip-dense-op", action="store_true",
                     help="skip the dense-operator path (OOM-scale M)")
+    ap.add_argument("--skip-batch", action="store_true",
+                    help="skip the fused-batch section (latency-only runs)")
     args = ap.parse_args()
 
-    from pdp_lqr_tpu.models import quadrotor
     from pdp_lqr_tpu.solvers import admm
 
     dtype = jnp.float32
-    problem, _ = quadrotor(N=args.horizon, constrained=True, dtype=dtype)
+    cones: tuple = ()
+    if args.model == "quadrotor":
+        from pdp_lqr_tpu.models import quadrotor
+
+        problem, _ = quadrotor(N=args.horizon, constrained=True,
+                               dtype=dtype)
+    elif args.model == "centroidal":
+        from pdp_lqr_tpu.models import centroidal
+
+        problem, cone_list = centroidal(N=args.horizon, dtype=dtype)
+        cones = tuple(cone_list)
+    else:
+        from pdp_lqr_tpu.models import mass_spring_chain
+
+        problem = mass_spring_chain(n_masses=20, N=args.horizon,
+                                    dtype=dtype)
     K = args.admm_iters
+    M_flat = (args.horizon + 1) * problem.nz
+    if M_flat > 12_000 and not args.skip_dense_op:
+        # Dense T is M^2 floats (3.8 GB at centroidal N=1024) — the
+        # condensed operator is the long-horizon embodiment.
+        print(f"dense operator auto-skipped (M={M_flat}: T would be "
+              f"{M_flat * M_flat * 4 / 1e9:.1f} GB)")
+        args.skip_dense_op = True
 
     def settings(iters):
         return admm.ADMMSettings(
@@ -70,8 +97,9 @@ def main():
     # ---- single instance (XLA backend, B=1) -----------------------------
     x0 = jnp.zeros(problem.nx, dtype)
     if not args.skip_xla:
-        f1 = jax.jit(lambda p, x: admm.solve(p, x, (), settings(K))[0])
-        f2 = jax.jit(lambda p, x: admm.solve(p, x, (), settings(2 * K))[0])
+        f1 = jax.jit(lambda p, x: admm.solve(p, x, cones, settings(K))[0])
+        f2 = jax.jit(lambda p, x: admm.solve(p, x, cones,
+                                             settings(2 * K))[0])
         tK = _time(f1, problem, x0)
         t2K = _time(f2, problem, x0)
         per_iter = (t2K - tK) / K
@@ -98,9 +126,9 @@ def main():
 
     def time_operator(op, label):
         r1 = jax.jit(lambda x, s: realtime.solve(
-            problem, x, op, (), rt_settings(K), s)[0])
+            problem, x, op, cones, rt_settings(K), s)[0])
         r2 = jax.jit(lambda x, s: realtime.solve(
-            problem, x, op, (), rt_settings(2 * K), s)[0])
+            problem, x, op, cones, rt_settings(2 * K), s)[0])
         tK = _time(r1, x0, state0)
         t2K = _time(r2, x0, state0)
         per_iter = (t2K - tK) / K
@@ -129,11 +157,12 @@ def main():
 
     if not args.skip_dense_op:
         op = realtime.build_operator(problem, rho=1.0,
-                                     settings=rt_settings(K))
+                                     settings=rt_settings(K),
+                                     cones=cones)
         time_operator(op, "realtime operator path")
         time_rebuild(
             lambda r: realtime.build_operator(
-                problem, r, settings=rt_settings(K)),
+                problem, r, settings=rt_settings(K), cones=cones),
             "realtime operator",
         )
 
@@ -148,23 +177,27 @@ def main():
         S = max(s for s in range(2, N + 1) if N % s == 0 and s <= target)
     if N % S == 0:
         cop = realtime.build_condensed_operator(
-            problem, rho=1.0, num_segments=S, settings=rt_settings(K))
+            problem, rho=1.0, num_segments=S, settings=rt_settings(K),
+            cones=cones)
         time_operator(cop, f"condensed operator (S={S}) path")
         time_rebuild(
             lambda r: realtime.build_condensed_operator(
-                problem, r, num_segments=S, settings=rt_settings(K)),
+                problem, r, num_segments=S, settings=rt_settings(K),
+                cones=cones),
             f"condensed operator (S={S})",
         )
 
     # ---- fused batch (Pallas kernels) -----------------------------------
+    if args.skip_batch:
+        return
     B = args.batch
     bp = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), problem)
     x0s = jnp.zeros((B, problem.nx), dtype)
     for sk in (False, True):
         g1 = jax.jit(lambda p, x: admm.solve_fused(
-            p, x, (), settings(K), single_kernel=sk)[0])
+            p, x, cones, settings(K), single_kernel=sk)[0])
         g2 = jax.jit(lambda p, x: admm.solve_fused(
-            p, x, (), settings(2 * K), single_kernel=sk)[0])
+            p, x, cones, settings(2 * K), single_kernel=sk)[0])
         tK = _time(g1, bp, x0s)
         t2K = _time(g2, bp, x0s)
         per_iter = (t2K - tK) / K

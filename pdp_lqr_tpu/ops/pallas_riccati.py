@@ -350,13 +350,6 @@ def _backward_pdp_kernel(nu, nx, nc, export,
                          rho_ref, rg_ref, Pi_ref, pi_ref, Fi_ref,
                          Ci_ref, fi_ref,
                          K_ref, d_ref, M_ref, v_ref, G_ref, *rest):
-    if export:
-        (P_ref, L_ref, F_ref,
-         P0_ref, p0_ref, F0_ref, C0_ref, f0_ref,
-         P_scr, p_scr, F_scr, C_scr, f_scr) = rest
-    else:
-        (P0_ref, p0_ref, F0_ref, C0_ref, f0_ref,
-         P_scr, p_scr, F_scr, C_scr, f_scr) = rest
     """Backward sweep + PDP segment-coupling propagation, P-form.
 
     Reference math: ParallelLQRKernel::step_with_factorization
@@ -379,6 +372,13 @@ def _backward_pdp_kernel(nu, nx, nc, export,
     solver's with/without-factorization split
     (lqr_solver_parallel.hpp:148-154,190-211).
     """
+    if export:
+        (P_ref, L_ref, F_ref,
+         P0_ref, p0_ref, F0_ref, C0_ref, f0_ref,
+         P_scr, p_scr, F_scr, C_scr, f_scr) = rest
+    else:
+        (P0_ref, p0_ref, F0_ref, C0_ref, f0_ref,
+         P_scr, p_scr, F_scr, C_scr, f_scr) = rest
     t = pl.program_id(1)
     n_time = pl.num_programs(1)
 
@@ -932,6 +932,50 @@ def _backward_vec_kernel(nu, nx, T,
     p_scr[:] = p
 
 
+def _backward_vec_kernel_il(nu, nx, T, chunk,
+                            A_ref, B_ref, c_ref, hf_ref, P_ref, K_ref,
+                            L_ref, pN_ref,
+                            d_ref, v_ref, p_scr):
+    """Chunk-interleaved cached vector sweep: grid (N//T, n_chunks)
+    with the lane chunk MINOR, carries in one full-width scratch.
+
+    With the shared-stage pinned streams (A, B, P, K, L indexed by t
+    only) the pipeline emitter skips their re-fetch across the
+    n_chunks minor steps — the matrix streams cross HBM once per
+    TIME step instead of once per batch chunk (measured 1.4x on the
+    shared forward; the same elision applies here)."""
+    t = pl.program_id(0)
+    ch = pl.program_id(1)
+    sl = pl.ds(ch * chunk, chunk)
+
+    @pl.when(t == 0)
+    def _():
+        p_scr[:, sl] = pN_ref[:]
+
+    cdt = p_scr.dtype
+    p = p_scr[:, sl]
+    for i in range(T - 1, -1, -1):
+        A = A_ref[i].astype(cdt)
+        Bm = B_ref[i].astype(cdt)
+        c = c_ref[i].astype(cdt)
+        hf = hf_ref[i].astype(cdt)
+        P = P_ref[i]
+        K = K_ref[i]
+        Lt = L_ref[i]
+        L = [[Lt[li, lj] if lj <= li else None for lj in range(nu)]
+             for li in range(nu)]
+
+        Pcp = _mv(P, c) + p
+        rbar = hf[:nu] + _mtv(Bm, Pcp)
+        d = -jnp.stack(
+            _chol_solve_lanes(L, [rbar[ri] for ri in range(nu)]), axis=0
+        )
+        d_ref[i] = d
+        v_ref[i] = _mv(Bm, d) + c
+        p = hf[nu:] + _mtv(A, Pcp) + _mtv(K, rbar)
+    p_scr[:, sl] = p
+
+
 def _vec_sweep_words(nx, nu, nz):
     """Per-lane streamed words of the cached vector sweep (shared by
     backward_vectors_lanes and prepare_shared for chunk agreement)."""
@@ -974,7 +1018,7 @@ def _shared_slice(name, x, chunk):
 
 
 def backward_vectors_lanes(A, B, c, hf, P, K, L, pN, *, interpret=False,
-                           shared=False):
+                           shared=False, interleave=False):
     """Cached-factor vector sweep; returns (d, v) for forward_lanes.
 
     A (N,nx,nx,B), B (N,nx,nu,B), c (N,nx,B), hf (N,nz,B) the fully
@@ -1016,28 +1060,55 @@ def backward_vectors_lanes(A, B, c, hf, P, K, L, pN, *, interpret=False,
     n_chunks = Bt // chunk
     T = _pick_stages(N, words, 8 * nx * nx, chunk,
                      jnp.dtype(dt).itemsize)
+    interleave = interleave and n_chunks > 1
 
-    stage = lambda *dims: pl.BlockSpec(
-        (T,) + dims[:-1] + (chunk,),
-        lambda b, t: (N // T - 1 - t,) + (0,) * (len(dims) - 1) + (b,),
-        memory_space=pltpu.VMEM,
-    )
-    # Shared matrix streams: same block shape, lane-block pinned to 0.
-    stage_sh = (lambda *dims: pl.BlockSpec(
-        (T,) + dims[:-1] + (chunk,),
-        lambda b, t: (N // T - 1 - t,) + (0,) * (len(dims) - 1) + (0,),
-        memory_space=pltpu.VMEM,
-    )) if shared else stage
-    whole = lambda *dims: pl.BlockSpec(
-        dims[:-1] + (chunk,),
-        lambda b, t: (0,) * (len(dims) - 1) + (b,),
-        memory_space=pltpu.VMEM,
-    )
+    if interleave:
+        # Chunk-minor grid (time, chunk): index maps take (t, b).  For
+        # pinned (shared) streams the block index is constant along the
+        # minor dimension, so their DMAs are elided across chunks.
+        stage = lambda *dims: pl.BlockSpec(
+            (T,) + dims[:-1] + (chunk,),
+            lambda t, b: (N // T - 1 - t,) + (0,) * (len(dims) - 1) + (b,),
+            memory_space=pltpu.VMEM,
+        )
+        stage_sh = (lambda *dims: pl.BlockSpec(
+            (T,) + dims[:-1] + (chunk,),
+            lambda t, b: (N // T - 1 - t,) + (0,) * (len(dims) - 1) + (0,),
+            memory_space=pltpu.VMEM,
+        )) if shared else stage
+        whole = lambda *dims: pl.BlockSpec(
+            dims[:-1] + (chunk,),
+            lambda t, b: (0,) * (len(dims) - 1) + (b,),
+            memory_space=pltpu.VMEM,
+        )
+        kernel = functools.partial(_backward_vec_kernel_il, nu, nx, T,
+                                   chunk)
+        grid = (N // T, n_chunks)
+        scratch = [pltpu.VMEM((nx, Bt), dt)]
+    else:
+        stage = lambda *dims: pl.BlockSpec(
+            (T,) + dims[:-1] + (chunk,),
+            lambda b, t: (N // T - 1 - t,) + (0,) * (len(dims) - 1) + (b,),
+            memory_space=pltpu.VMEM,
+        )
+        # Shared matrix streams: same block shape, lane-block pinned to 0.
+        stage_sh = (lambda *dims: pl.BlockSpec(
+            (T,) + dims[:-1] + (chunk,),
+            lambda b, t: (N // T - 1 - t,) + (0,) * (len(dims) - 1) + (0,),
+            memory_space=pltpu.VMEM,
+        )) if shared else stage
+        whole = lambda *dims: pl.BlockSpec(
+            dims[:-1] + (chunk,),
+            lambda b, t: (0,) * (len(dims) - 1) + (b,),
+            memory_space=pltpu.VMEM,
+        )
+        kernel = functools.partial(_backward_vec_kernel, nu, nx, T)
+        grid = (n_chunks, N // T)
+        scratch = [pltpu.VMEM((nx, chunk), dt)]
 
-    kernel = functools.partial(_backward_vec_kernel, nu, nx, T)
     return pl.pallas_call(
         kernel,
-        grid=(n_chunks, N // T),
+        grid=grid,
         in_specs=[
             stage_sh(nx, nx, Bt), stage_sh(nx, nu, Bt), stage(nx, Bt),
             stage(nz, Bt),
@@ -1050,7 +1121,7 @@ def backward_vectors_lanes(A, B, c, hf, P, K, L, pN, *, interpret=False,
             jax.ShapeDtypeStruct((N, nu, Bt), dt),
             jax.ShapeDtypeStruct((N, nx, Bt), dt),
         ),
-        scratch_shapes=[pltpu.VMEM((nx, chunk), dt)],
+        scratch_shapes=scratch,
         compiler_params=_compiler_params(interpret),
         interpret=interpret,
     )(A, B, c, hf, P, K, L, pN)
@@ -1758,12 +1829,15 @@ def solve_shared_prepared(prep, *, interpret=False):
         interpret=interpret, export_factors=True,
     )
 
+    # Chunk-minor interleaving: the pinned matrix streams cross HBM
+    # once per time step instead of once per batch chunk (DMA elision
+    # on the unchanged lane-block index; measured 1.4x on the forward).
     d, v = backward_vectors_lanes(
         A_sh, B_sh, c_l, hf_l, P, K, L, pN_l,
-        interpret=interpret, shared=True,
+        interpret=interpret, shared=True, interleave=True,
     )
     ws, xN = forward_lanes(M, v, K, d, x0_l, interpret=interpret,
-                           shared=True)
+                           shared=True, interleave=True)
 
     ws = from_lanes(ws)                          # (B, N, nz)
     xN = jnp.moveaxis(xN, -1, 0)                 # (B, nx)
@@ -1817,10 +1891,10 @@ def solve_shared_cached(prep, factors, *, interpret=False):
     K, M, P, L = factors
     d, v = backward_vectors_lanes(
         A_sh, B_sh, c_l, hf_l, P, K, L, pN_l,
-        interpret=interpret, shared=True,
+        interpret=interpret, shared=True, interleave=True,
     )
     ws, xN = forward_lanes(M, v, K, d, x0_l, interpret=interpret,
-                           shared=True)
+                           shared=True, interleave=True)
     ws = from_lanes(ws)
     xN = jnp.moveaxis(xN, -1, 0)
     wN = jnp.concatenate(
