@@ -266,11 +266,26 @@ def run_admm_bench(args, on_cpu: bool, backend: str) -> int:
     B = args.batch if args.batch is not None else (8 if on_cpu else 1024)
     N = args.horizon   # honest: --horizon 512 used to silently run 64
     K = args.admm
-    problem, _ = quadrotor(N=N, constrained=True, dtype=jnp.float32)
+    cones, shift = (), None
+    if args.soc:
+        # BASELINE.json config #3: thrust-SOC tracking (the constraint
+        # shapes of the reference example, lqr_example.cpp:142-154,
+        # plus the cone its missing outer loop would project onto).
+        problem, cone_list = quadrotor(N=N, constrained=True,
+                                       thrust_cone=True,
+                                       dtype=jnp.float32)
+        cones = tuple(cone_list)
+        # t-row shift: ||v|| <= beta (u_tot + 4 hover) -> 8.0 offset.
+        shift = jnp.zeros((N + 1, problem.nc), jnp.float32) \
+            .at[:, 16].set(8.0)
+    else:
+        problem, _ = quadrotor(N=N, constrained=True, dtype=jnp.float32)
     # Shared-stage broadcast mode: one model in HBM, B scenario
-    # iterates (single-kernel only).  With --cached the factors are
-    # batch-shared too, which requires the batch-uniform adaptive rho.
-    shared = not args.no_shared and args.single_kernel
+    # iterates (single-kernel or --split).  With cached factors the
+    # factors are batch-shared too, which requires the batch-uniform
+    # adaptive rho.
+    shared = not args.no_shared and (args.single_kernel or args.split)
+    cached = args.cached or args.split   # split implies cached factors
     if shared:
         bp = problem
     else:
@@ -279,39 +294,66 @@ def run_admm_bench(args, on_cpu: bool, backend: str) -> int:
     x0s = jnp.full((B, problem.nx), 0.03, jnp.float32)
     settings = admm.ADMMSettings(
         max_iter=K, rho_update_interval=25, rho=0.1,
-        eps_abs=1e-4, eps_rel=1e-4, cached_factors=args.cached,
-        uniform_rho=shared and args.cached,
+        eps_abs=1e-4, eps_rel=1e-4, cached_factors=cached,
+        uniform_rho=shared and cached,
     )
-    storage_dt = jnp.bfloat16 if (args.bf16 and args.single_kernel) \
-        else None
+    single_kernel = args.single_kernel and not args.split
+    storage_dt = jnp.bfloat16 \
+        if (args.bf16 and (single_kernel or args.split)) else None
     fn = jax.jit(lambda p, x: admm.solve_fused(
-        p, x, (), settings, interpret=on_cpu,
-        single_kernel=args.single_kernel, storage_dtype=storage_dt)[0])
+        p, x, cones, settings, interpret=on_cpu, soc_shift=shift,
+        single_kernel=single_kernel, storage_dtype=storage_dt)[0])
     fence = jax.jit(lambda w: jnp.all(jnp.isfinite(w)))
     ws = fn(bp, x0s)
     assert bool(fence(ws)), "non-finite ADMM output"
+    conv_stats = None
+    if args.soc:
+        # Convergence evidence for the config row: one instrumented
+        # solve (outside the timed window) at the same settings.
+        import numpy as np
+
+        _, _, info = jax.jit(lambda p, x: admm.solve_fused(
+            p, x, cones, settings, interpret=on_cpu, soc_shift=shift,
+            single_kernel=single_kernel,
+            storage_dtype=storage_dt))(bp, x0s)
+        it_c = np.asarray(info.iter_converged)
+        conv_stats = {
+            "converged_frac": float(np.mean(np.asarray(info.converged))),
+            "iters_to_converge_p50": float(np.percentile(it_c, 50)),
+            "iters_to_converge_p95": float(np.percentile(it_c, 95)),
+        }
     t0 = time.perf_counter()
     for _ in range(args.iters):
         ws = fn(bp, x0s)
     bool(fence(ws))
     dt = time.perf_counter() - t0
     solves_per_s = B * args.iters / dt
-    label = "single-kernel" if args.single_kernel else "two-kernel"
+    if args.split:
+        label = "split-kernel"
+    elif single_kernel:
+        label = "single-kernel"
+    else:
+        label = "two-kernel"
     if shared:
         label += "+shared"
     if storage_dt is not None:
         label += "+bf16"
-    if args.cached:
+    if cached:
         label += "+cached-factors"
         if shared:
             label += "+uniform-rho"
-    print(json.dumps({
+    if args.soc:
+        label = "thrust-SOC, " + label
+    out = {
         "metric": f"conic ADMM solves/s/chip ({K} iters/solve, N={N}, "
                   f"B={B}, {label}, {backend})",
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / TARGET_PER_CHIP, 4),
-    }))
+    }
+    if conv_stats is not None:
+        out["convergence"] = conv_stats
+    print(json.dumps(out))
     return 0
 
 
@@ -349,6 +391,17 @@ def main():
                     help="--admm only: one pallas_call per iteration "
                          "(ops/pallas_admm) instead of the "
                          "backward/forward kernel pair")
+    ap.add_argument("--soc", action="store_true",
+                    help="--admm only: quadrotor thrust-SOC tracking "
+                         "(BASELINE.json config #3) — box constraints "
+                         "plus one second-order cone per stage; also "
+                         "reports convergence stats")
+    ap.add_argument("--split", action="store_true",
+                    help="--admm only: shared split iteration (chunk-"
+                         "interleaved backward-vector + forward+tail "
+                         "kernel pair, pinned factor streams) — the "
+                         "long-horizon shared serving path; implies "
+                         "cached factors + uniform rho")
     ap.add_argument("--cached", action="store_true",
                     help="--admm only: cached-factor vector sweeps "
                          "between rho changes (two-kernel path; the "

@@ -125,12 +125,16 @@ def main():
     state0 = admm.init_state(problem, rt_settings(K))
 
     def time_operator(op, label):
-        r1 = jax.jit(lambda x, s: realtime.solve(
-            problem, x, op, cones, rt_settings(K), s)[0])
-        r2 = jax.jit(lambda x, s: realtime.solve(
-            problem, x, op, cones, rt_settings(2 * K), s)[0])
-        tK = _time(r1, x0, state0)
-        t2K = _time(r2, x0, state0)
+        # The operator must be a jit ARGUMENT, not a closure capture: a
+        # captured operator becomes a program constant, and at N=1024
+        # the serialized program exceeds the remote-compile upload
+        # limit (HTTP 413).
+        r1 = jax.jit(lambda o, x, s: realtime.solve(
+            problem, x, o, cones, rt_settings(K), s)[0])
+        r2 = jax.jit(lambda o, x, s: realtime.solve(
+            problem, x, o, cones, rt_settings(2 * K), s)[0])
+        tK = _time(r1, op, x0, state0)
+        t2K = _time(r2, op, x0, state0)
         per_iter = (t2K - tK) / K
         replan_ms = per_iter * K * 1e3
         fixed_ms = max(tK - per_iter * K, 0.0) * 1e3
@@ -190,10 +194,16 @@ def main():
     # ---- fused batch (Pallas kernels) -----------------------------------
     if args.skip_batch:
         return
+    from pdp_lqr_tpu.ops import pallas_admm as pa
+
     B = args.batch
     bp = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), problem)
     x0s = jnp.zeros((B, problem.nx), dtype)
-    for sk in (False, True):
+    kernel_modes = [False]
+    if problem.nc > 0 and pa.fits_vmem(problem.N, problem.nx, problem.nu,
+                                       problem.nc):
+        kernel_modes.append(True)
+    for sk in kernel_modes:
         g1 = jax.jit(lambda p, x: admm.solve_fused(
             p, x, cones, settings(K), single_kernel=sk)[0])
         g2 = jax.jit(lambda p, x: admm.solve_fused(

@@ -362,6 +362,357 @@ def _admm_iter_kernel(nu, nx, nc, N, T, cones, alpha, sigma, has_shift,
             res_ref[:] = acc
 
 
+# --------------------------------------------- split (two-kernel) iteration
+#
+# The single-kernel iteration spills (K,) d to VMEM scratch, which (a)
+# bounds the horizon and (b) forces the batch chunk to be the MAJOR
+# grid dimension — so in shared mode every batch chunk re-streams the
+# pinned stage/factor windows from HBM.  At N=512 that re-streaming is
+# the dominant cost (measured: the full cached shared iteration ran at
+# ~24 ms/iter vs ~6 ms of unique bytes).  The split pair below passes
+# (d, v) through HBM instead, which frees the grid to be CHUNK-MINOR:
+# the pinned windows' block index is then constant along the minor
+# dimension and the pipeline emitter elides their re-fetch — shared
+# streams cross HBM once per TIME step, not once per batch chunk
+# (measured 1.4x on the shared forward alone).
+#
+#   kernel A (_admm_bwd_vec_kernel_il): cached-factor vector backward
+#     sweep with the IN-KERNEL iterate fold (rg = rho z - y, hf = h -
+#     sigma w - D^T rg — the reference's update_problem_data +
+#     backward_without_factorization, lqr_solver.hpp:41-70, fused);
+#     emits (d, v).
+#   kernel B (_admm_fwd_update_kernel_il): closed-loop rollout x+ =
+#     M x + v (M = A + B K cached) fused with the relax / project /
+#     dual / residual tail of _admm_iter_kernel phase 2.
+#
+# Both require shared mode with batch-uniform rho (pinned factors).
+
+
+def _admm_bwd_vec_kernel_il(nu, nx, nc, T, chunk, sigma,
+                            rho_ref, pN_ref,
+                            A_ref, B_ref, h_ref, D_ref, m_ref,
+                            P_ref, L_ref, K_ref,
+                            c_ref, w_ref, z_ref, y_ref,
+                            d_ref, v_ref, p_scr):
+    t = pl.program_id(0)
+    ch = pl.program_id(1)
+    sl = pl.ds(ch * chunk, chunk)
+
+    @pl.when(t == 0)
+    def _():
+        p_scr[:, sl] = pN_ref[:]
+
+    cdt = p_scr.dtype
+    rho = rho_ref[0]                              # (chunk,)
+    p = p_scr[:, sl]
+    for i in range(T - 1, -1, -1):
+        A = A_ref[i].astype(cdt)
+        Bm = B_ref[i].astype(cdt)
+        c = c_ref[i].astype(cdt)
+        h = h_ref[i].astype(cdt) - sigma * w_ref[i]
+        if nc > 0:
+            D = D_ref[i].astype(cdt)
+            z = z_ref[i]
+            y = y_ref[i]
+            m = m_ref[i]
+            for ci in range(nc):
+                rg_c = rho * m[ci] * z[ci] - y[ci]     # (chunk,)
+                h = h - rg_c[None, :] * D[ci]
+        P = P_ref[i]
+        K = K_ref[i]
+        Lt = L_ref[i]
+        L = [[Lt[li, lj] if lj <= li else None for lj in range(nu)]
+             for li in range(nu)]
+
+        Pcp = _mv(P, c) + p
+        rbar = h[:nu] + _mtv(Bm, Pcp)
+        d = -jnp.stack(
+            _chol_solve_lanes(L, [rbar[ri] for ri in range(nu)]), axis=0
+        )
+        d_ref[i] = d
+        v_ref[i] = _mv(Bm, d) + c
+        p = h[nu:] + _mtv(A, Pcp) + _mtv(K, rbar)
+    p_scr[:, sl] = p
+
+
+def _admm_fwd_update_kernel_il(nu, nx, nc, T, chunk, cones, alpha, sigma,
+                               has_shift, *refs):
+    (rho_ref, x0_ref,
+     M_ref, K_ref, Hs_ref, D_ref, lb_ref, ub_ref, m_ref, *rest) = refs
+    if has_shift:
+        sh_ref, *rest = rest
+    else:
+        sh_ref = None
+    (v_ref, d_ref, w_ref, z_ref, y_ref,
+     wn_ref, zn_ref, yn_ref, xN_ref, res_ref,
+     x_scr, acc_scr) = rest
+
+    t = pl.program_id(0)
+    ch = pl.program_id(1)
+    nt = pl.num_programs(0)
+    sl = pl.ds(ch * chunk, chunk)
+
+    @pl.when(t == 0)
+    def _():
+        x_scr[:, sl] = x0_ref[:]
+        acc_scr[:, sl] = jnp.zeros_like(acc_scr[:, sl])
+
+    cdt = x_scr.dtype
+    rho = rho_ref[0]
+    x = x_scr[:, sl]
+    acc = acc_scr[:, sl]
+    for i in range(T):
+        K = K_ref[i]
+        d = d_ref[i]
+        u = _mv(K, x) + d
+        w_t = jnp.concatenate([u, x], axis=0)          # (nz, chunk)
+        x = _mv(M_ref[i], x) + v_ref[i]
+
+        w = w_ref[i]
+        z = z_ref[i]
+        y = y_ref[i]
+        D = D_ref[i].astype(cdt)
+        m = m_ref[i]
+        lb = lb_ref[i]
+        ub = ub_ref[i]
+        sh = sh_ref[i] if has_shift else None
+
+        z_t = _mv(D, w_t)                              # (nc, chunk)
+        w_new = alpha * w_t + (1.0 - alpha) * w
+        rho_m = rho[None, :] * m
+        m01 = jnp.where(m > 0, 1.0, 0.0).astype(cdt)
+        v = alpha * z_t + (1.0 - alpha) * z + jnp.where(
+            m > 0, y / jnp.maximum(rho_m, 1e-30), 0.0)
+        z_new = _project_lanes(v, lb, ub, cones, sh) * m01
+        y_new = y + rho_m * (
+            alpha * z_t + (1.0 - alpha) * z - z_new
+        )
+        wn_ref[i] = w_new
+        zn_ref[i] = z_new
+        yn_ref[i] = y_new
+
+        Hs = Hs_ref[i].astype(cdt)
+        Dw_new = _mv(D, w_new)
+        dw = w - w_t
+        zt_term = rho_m * (
+            (alpha - 1.0) * (z_t - z) + (z - z_new)
+        )
+        dvec = (
+            (1.0 - alpha) * _mv(Hs, dw)
+            + (alpha * sigma) * dw
+            + _mtv(D, zt_term)
+        )
+        Hw = _mv(Hs, w_new) - sigma * w_new
+        dty = _mtv(D, y_new)
+
+        rp = jnp.max(jnp.abs(Dw_new - z_new), axis=0)
+        rd = jnp.max(jnp.abs(dvec), axis=0)
+        ps = jnp.maximum(
+            jnp.max(jnp.abs(Dw_new), axis=0),
+            jnp.max(jnp.abs(z_new), axis=0),
+        )
+        ds = jnp.maximum(
+            jnp.max(jnp.abs(Hw), axis=0), jnp.max(jnp.abs(dty), axis=0)
+        )
+        acc = jnp.maximum(acc, jnp.stack([rp, rd, ps, ds]))
+    x_scr[:, sl] = x
+    acc_scr[:, sl] = acc
+
+    @pl.when(t == nt - 1)
+    def _():
+        xN_ref[:] = x
+        res_ref[:] = acc
+
+
+def _split_words(nx, nu, nc, has_shift, sw):
+    """(kernel A, kernel B) streamed words/lane (compute-word units)."""
+    nz = nx + nu
+    wa = (sw * (nx * nx + nx * nu + nz + nc * nz + nx)   # A B h D c
+          + nc                                           # mask
+          + nx * nx + nu * nu + nu * nx                  # P L K
+          + nz + 2 * nc                                  # w z y
+          + nu + nx)                                     # d v out
+    wb = (nx * nx + nu * nx                              # M K
+          + sw * (nz * nz + nc * nz)                     # Hs D
+          + 3 * nc + (nc if has_shift else 0)            # lb ub mask shift
+          + nx + nu                                      # v d
+          + nz + 2 * nc                                  # w z y
+          + nz + 2 * nc)                                 # outputs
+    return wa, wb
+
+
+def split_width(Bt, nx, nu, nc, has_shift=False, storage_dtype=None,
+                compute_dtype=jnp.float32) -> int:
+    """Replication width for the split iteration's shared streams
+    (covers both kernels' lane chunks)."""
+    c_item = jnp.dtype(compute_dtype).itemsize
+    s_item = jnp.dtype(storage_dtype or compute_dtype).itemsize
+    wa, wb = _split_words(nx, nu, nc, has_shift, s_item / c_item)
+    ca = _pick_chunk(Bt, int(wa) + 1, 24 * (nx + nu) ** 2, c_item)
+    cb = _pick_chunk(Bt, int(wb) + 1, 24 * (nx + nu) ** 2, c_item)
+    return max(ca, cb)
+
+
+def admm_bwd_vec_lanes(rho, pN, A, B, h, D, mask, P, L, K, c, w, z, y,
+                       *, nu, sigma, interpret=False):
+    """Split-iteration kernel A: in-kernel iterate fold + cached vector
+    sweep, chunk-interleaved, shared-stage streams pinned.
+
+    Shared streams (W lanes, W a multiple of the kernel chunk): A
+    (N,nx,nx,W), B (N,nx,nu,W), h (N,nz,W) raw, D (N,nc,nz,W), mask
+    (N,nc,W) per-row rho scale, and the cached factors P/L/K from
+    backward_lanes(export_factors=True).  Per-scenario: rho (1,B), pN
+    (nx,B) the iterate-folded terminal linear cost, c (N,nx,B), w/z/y
+    current iterates.  Returns (d (N,nu,B), v (N,nx,B))."""
+    N, nx = A.shape[0], A.shape[1]
+    Bt = w.shape[-1]
+    nc = D.shape[1]
+    nz = nx + nu
+    dt = w.dtype
+    c_item = jnp.dtype(dt).itemsize
+    sw = jnp.dtype(A.dtype).itemsize / c_item
+    words, _ = _split_words(nx, nu, nc, False, sw)
+    chunk = _pick_chunk(Bt, int(words) + 1, 24 * nz * nz, c_item)
+    A = _shared_slice("A", A, chunk)
+    B = _shared_slice("B", B, chunk)
+    h = _shared_slice("h", h, chunk)
+    D = _shared_slice("D", D, chunk)
+    mask = _shared_slice("mask", mask, chunk)
+    P = _shared_slice("P", P, chunk)
+    L = _shared_slice("L", L, chunk)
+    K = _shared_slice("K", K, chunk)
+    n_chunks = Bt // chunk
+    T = _pick_stages(N, int(words) + 1, 24 * nz * nz, chunk, c_item)
+
+    NT = N // T
+    stage = lambda *dims: pl.BlockSpec(
+        (T,) + dims[:-1] + (chunk,),
+        lambda t, b: (NT - 1 - t,) + (0,) * (len(dims) - 1) + (b,),
+        memory_space=pltpu.VMEM,
+    )
+    stage_sh = lambda *dims: pl.BlockSpec(
+        (T,) + dims[:-1] + (chunk,),
+        lambda t, b: (NT - 1 - t,) + (0,) * (len(dims) - 1) + (0,),
+        memory_space=pltpu.VMEM,
+    )
+    whole = lambda *dims: pl.BlockSpec(
+        dims[:-1] + (chunk,),
+        lambda t, b: (0,) * (len(dims) - 1) + (b,),
+        memory_space=pltpu.VMEM,
+    )
+    kernel = functools.partial(_admm_bwd_vec_kernel_il, nu, nx, nc, T,
+                               chunk, sigma)
+    return pl.pallas_call(
+        kernel,
+        grid=(NT, n_chunks),
+        in_specs=[
+            whole(1, Bt), whole(nx, Bt),
+            stage_sh(nx, nx, Bt), stage_sh(nx, nu, Bt),
+            stage_sh(nz, Bt), stage_sh(nc, nz, Bt), stage_sh(nc, Bt),
+            stage_sh(nx, nx, Bt), stage_sh(nu, nu, Bt),
+            stage_sh(nu, nx, Bt),
+            stage(nx, Bt), stage(nz, Bt), stage(nc, Bt), stage(nc, Bt),
+        ],
+        out_specs=(stage(nu, Bt), stage(nx, Bt)),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, nu, Bt), dt),
+            jax.ShapeDtypeStruct((N, nx, Bt), dt),
+        ),
+        scratch_shapes=[pltpu.VMEM((nx, Bt), dt)],
+        compiler_params=_compiler_params(interpret),
+        interpret=interpret,
+    )(rho, pN, A, B, h, D, mask, P, L, K, c, w, z, y)
+
+
+def admm_fwd_update_lanes(rho, x0, M, K, Hs, D, lb, ub, mask, shift,
+                          v, d, w, z, y, *, nu, cones, alpha, sigma,
+                          interpret=False):
+    """Split-iteration kernel B: closed-loop rollout + relax / project /
+    dual / residual tail, chunk-interleaved, shared streams pinned.
+
+    Shared streams: M (N,nx,nx,W) closed-loop map, K (N,nu,nx,W), Hs
+    (N,nz,nz,W) sigma-folded Hessian (residuals only), D, lb, ub, mask
+    (rho-scale), shift or None.  Per-scenario: rho (1,B), x0 (nx,B),
+    (v, d) from kernel A, w/z/y iterates.  Returns (w+, z+, y+, xN,
+    res (4,B)) like admm_iter_lanes (caller folds the terminal)."""
+    N, nx = M.shape[0], M.shape[1]
+    Bt = w.shape[-1]
+    nc = D.shape[1]
+    nz = nx + nu
+    dt = w.dtype
+    has_shift = shift is not None
+    c_item = jnp.dtype(dt).itemsize
+    sw = jnp.dtype(Hs.dtype).itemsize / c_item
+    _, words = _split_words(nx, nu, nc, has_shift, sw)
+    chunk = _pick_chunk(Bt, int(words) + 1, 24 * nz * nz, c_item)
+    M = _shared_slice("M", M, chunk)
+    K = _shared_slice("K", K, chunk)
+    Hs = _shared_slice("Hs", Hs, chunk)
+    D = _shared_slice("D", D, chunk)
+    lb = _shared_slice("lb", lb, chunk)
+    ub = _shared_slice("ub", ub, chunk)
+    mask = _shared_slice("mask", mask, chunk)
+    if has_shift:
+        shift = _shared_slice("shift", shift, chunk)
+    n_chunks = Bt // chunk
+    T = _pick_stages(N, int(words) + 1, 24 * nz * nz, chunk, c_item)
+    NT = N // T
+
+    stage = lambda *dims: pl.BlockSpec(
+        (T,) + dims[:-1] + (chunk,),
+        lambda t, b: (t,) + (0,) * (len(dims) - 1) + (b,),
+        memory_space=pltpu.VMEM,
+    )
+    stage_sh = lambda *dims: pl.BlockSpec(
+        (T,) + dims[:-1] + (chunk,),
+        lambda t, b: (t,) + (0,) * (len(dims) - 1) + (0,),
+        memory_space=pltpu.VMEM,
+    )
+    whole = lambda *dims: pl.BlockSpec(
+        dims[:-1] + (chunk,),
+        lambda t, b: (0,) * (len(dims) - 1) + (b,),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [
+        whole(1, Bt), whole(nx, Bt),
+        stage_sh(nx, nx, Bt), stage_sh(nu, nx, Bt),
+        stage_sh(nz, nz, Bt), stage_sh(nc, nz, Bt),
+        stage_sh(nc, Bt), stage_sh(nc, Bt), stage_sh(nc, Bt),
+    ]
+    args = [rho, x0, M, K, Hs, D, lb, ub, mask]
+    if has_shift:
+        in_specs.append(stage_sh(nc, Bt))
+        args.append(shift)
+    in_specs += [stage(nx, Bt), stage(nu, Bt),
+                 stage(nz, Bt), stage(nc, Bt), stage(nc, Bt)]
+    args += [v, d, w, z, y]
+
+    kernel = functools.partial(
+        _admm_fwd_update_kernel_il, nu, nx, nc, T, chunk, tuple(cones),
+        alpha, sigma, has_shift,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(NT, n_chunks),
+        in_specs=in_specs,
+        out_specs=(
+            stage(nz, Bt), stage(nc, Bt), stage(nc, Bt),
+            whole(nx, Bt), whole(4, Bt),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, nz, Bt), dt),
+            jax.ShapeDtypeStruct((N, nc, Bt), dt),
+            jax.ShapeDtypeStruct((N, nc, Bt), dt),
+            jax.ShapeDtypeStruct((nx, Bt), dt),
+            jax.ShapeDtypeStruct((4, Bt), dt),
+        ),
+        scratch_shapes=[pltpu.VMEM((nx, Bt), dt),
+                        pltpu.VMEM((4, Bt), dt)],
+        compiler_params=_compiler_params(interpret),
+        interpret=interpret,
+    )(*args)
+
+
 # VMEM sizing for the fused iteration.  The (K, d) spill is modeled
 # explicitly, so the budget is sized against the 48 MB scoped limit
 # (_compiler_params) rather than _pick_chunk's conservative 12 MB

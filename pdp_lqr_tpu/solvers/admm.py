@@ -505,13 +505,21 @@ def solve_fused(
             N, nx, nu, nc, soc_shift is not None,
             storage_dtype, dt, cached=settings.cached_factors,
         )
-    if shared_mode and not single_kernel:
-        raise ValueError(
-            "shared-stage solve_fused requires the single-kernel "
-            "iteration (the two-kernel pair has no shared path); this "
-            "shape does not fit its VMEM spill — shorten the horizon "
-            "or use the replicated (batched-problem) path"
-        )
+    split_mode = shared_mode and not single_kernel
+    if split_mode:
+        # Split (two-kernel) shared iteration: the chunk-minor
+        # interleaved kernel pair of ops/pallas_admm passes (d, v)
+        # through HBM, freeing the grid to elide the pinned stream
+        # re-fetch across batch chunks (the long-horizon serving path
+        # — no VMEM gain spill, shared streams cross HBM once per time
+        # step).  The factor streams are pinned, so factors must be
+        # batch-shared: cached_factors + (under adaptation) uniform_rho.
+        if not settings.cached_factors:
+            raise ValueError(
+                "shared-stage two-kernel (split) iteration requires "
+                "cached_factors=True: its backward kernel is the "
+                "cached vector sweep on pinned (P, L, K) streams"
+            )
     if residual_weights is not None and single_kernel:
         raise ValueError(
             "residual_weights (unscaled-residual termination) needs "
@@ -543,6 +551,10 @@ def solve_fused(
             W = max(W, pa.admm_chunk(Bb, N, nx, nu, nc,
                                      soc_shift is not None,
                                      storage_dtype, dt, cached=True))
+        if split_mode:
+            W = max(W, pa.split_width(Bb, nx, nu, nc,
+                                      soc_shift is not None,
+                                      storage_dtype, dt))
         rep = lambda x: jnp.broadcast_to(x[..., None], x.shape + (W,))
         bcB = lambda x: jnp.broadcast_to(x[..., None], x.shape + (Bb,))
         mask1 = _con_mask(problem, cones).astype(dt)  # (N+1, nc)
@@ -658,9 +670,10 @@ def solve_fused(
 
     # Narrow-storage aliases for the single-kernel path (upcast at
     # load in ops/pallas_admm; XLA-side terminal math stays full-width).
-    if storage_dtype is not None and not single_kernel:
+    if storage_dtype is not None and not (single_kernel or split_mode):
         raise ValueError("storage_dtype requires single_kernel=True "
-                         "(use pallas_riccati.solve_lanes storage_dtype "
+                         "or the shared split iteration (use "
+                         "pallas_riccati.solve_lanes storage_dtype "
                          "for the inner solve)")
     _st = (lambda x: x.astype(storage_dtype)) if storage_dtype else \
         (lambda x: x)
@@ -668,9 +681,31 @@ def solve_fused(
     H_k, h_k, D_k = _st(H_l), _st(h_stream), _st(Dst_l)
     Wst = A_k.shape[-1]          # stream lane width (W shared, B else)
 
-    def _finish_stats(w_new, z_new, y_new, rho, stats,
+    if shared_mode and settings.cached_factors:
+        def _build_shared_factors(rho_op):
+            """Matrix sweep + factor export on the W-wide pinned chunk
+            (batch-uniform rho enforced above): the cached (P, L, K, M)
+            stream shared — the matrix half of the iteration never pays
+            B in HBM."""
+            rho_u = rho_op[0]
+            rho_vec = rho_u * mask_st            # (N, nc, W)
+            PN_W = HN_W
+            for ci in range(nc):
+                wrow = (rho_u * scaleN_1[ci]) * DN_W[ci]
+                PN_W = PN_W + DN_W[ci][:, None, :] * wrow[None, :, :]
+            K, _, M, _, P, L = pr.backward_lanes(
+                A_l, B_l, jnp.zeros((N, nx, W), dt), H_l,
+                jnp.zeros((N, nz, W), dt),
+                Dst_l, rho_vec, jnp.zeros((N, nc, W), dt),
+                PN_W, jnp.zeros((nx, W), dt),
+                interpret=interpret, export_factors=True,
+            )
+            return (K, M, P, L, rho_op)
+
+    def _finish_stats(rho, stats,
                       r_prim, r_dual, prim_scale, dual_scale):
-        """Shared convergence / adaptive-rho tail (per-instance)."""
+        """Shared convergence / adaptive-rho tail (per-instance).
+        Returns (rho_new, stats_new); callers assemble their carry."""
         k_it, iter_conv, _, _, _ = stats
         conv = (r_prim <= settings.eps_abs + settings.eps_rel * prim_scale) \
             & (r_dual <= settings.eps_abs + settings.eps_rel * dual_scale)
@@ -695,24 +730,89 @@ def solve_fused(
                 rho,
             )
         stats = (k_next, iter_conv, r_prim, r_dual, conv)
-        return (w_new, z_new, y_new, rho, stats), None
+        return rho, stats
+
+    def _terminal_tail(wN, zN, yN, rho, stats, fac,
+                       w_st, z_st, y_st, xN, res):
+        """Terminal stage (no control): relax/project/dual + residual
+        merge + convergence/adaptive-rho — shared by the single-kernel
+        and split iterations (their kernels cover stages 0..N-1).
+
+        The terminal rows (wN, zN, yN) live as SEPARATE carry leaves:
+        slicing w[:-1] for the kernels and concatenating the terminal
+        row back each iteration cost ~6 full-trajectory HBM copies per
+        iteration (measured ~1.6 GB/iter at N=512 B=4096)."""
+        w_tN = jnp.concatenate([jnp.zeros((nu, Bb), dt), xN], axis=0)
+        z_tN = jnp.einsum("cxb,xb->cb", DN_l, xN)
+        w_newN = alpha * w_tN + (1.0 - alpha) * wN
+        rhoN_m = rho[None, :] * scaleN
+        vN = alpha * z_tN + (1.0 - alpha) * zN + jnp.where(
+            scaleN > 0, yN / jnp.maximum(rhoN_m, 1e-30), 0.0)
+        projN = jnp.clip(vN, lbN, ubN)
+        for off, dim, kind in cones3:
+            blk = vN[off : off + dim]
+            if shift_l is not None:
+                sN = shift_l[-1, off : off + dim]
+                blk = projections.project_cone(blk + sN, kind, axis=0) - sN
+            else:
+                blk = projections.project_cone(blk, kind, axis=0)
+            projN = projN.at[off : off + dim].set(blk)
+        z_newN = projN * maskN
+        y_newN = yN + rhoN_m * (
+            alpha * z_tN + (1.0 - alpha) * zN - z_newN
+        )
+
+        def HwN(v):                     # original terminal H (u rows 0)
+            hx = jnp.einsum("xyb,yb->xb", HN_l, v[nu:]) - sigma * v[nu:]
+            return jnp.concatenate([jnp.zeros((nu, Bb), dt), hx], axis=0)
+
+        DwN = jnp.einsum("czb,zb->cb", DallN, w_newN)
+        dwN = wN - w_tN
+        zt_termN = rhoN_m * (
+            (alpha - 1.0) * (z_tN - zN) + (zN - z_newN)
+        )
+        dvecN = (
+            (1.0 - alpha) * HwN(dwN) + sigma * dwN
+            + jnp.einsum("czb,cb->zb", DallN, zt_termN)
+        )
+        amaxN = lambda x: jnp.max(jnp.abs(x), axis=0)
+        r_prim = jnp.maximum(res[0], amaxN(DwN - z_newN))
+        r_dual = jnp.maximum(res[1], amaxN(dvecN))
+        prim_scale = jnp.maximum(
+            res[2], jnp.maximum(amaxN(DwN), amaxN(z_newN))
+        )
+        dual_scale = jnp.maximum(
+            res[3],
+            jnp.maximum(
+                jnp.maximum(
+                    amaxN(HwN(w_newN)),
+                    amaxN(jnp.einsum("czb,cb->zb", DallN, y_newN)),
+                ),
+                h_absmax,
+            ),
+        )
+
+        rho_n, stats_n = _finish_stats(rho, stats, r_prim, r_dual,
+                                       prim_scale, dual_scale)
+        return (w_st, w_newN, z_st, z_newN, y_st, y_newN,
+                rho_n, stats_n) + tuple(fac), None
 
     def iteration_1k(carry, _):
         """Whole iteration as ONE pallas_call (ops/pallas_admm)."""
         from pdp_lqr_tpu.ops import pallas_admm as pa
 
-        w, z, y, rho, stats, *fac = carry
+        w, wN, z, zN, y, yN, rho, stats, *fac = carry
         rho_row = rho[None, :]                       # (1, B)
 
         # Terminal fold in XLA (tiny); zero-D rows contribute nothing,
         # so raw rho works and z/y are invariantly masked.
         PN = HN_l
-        pN = hN_base[nu:] - sigma * w[-1, nu:]
+        pN = hN_base[nu:] - sigma * wN[nu:]
         for ci in range(nc):
             rho_cN = rho * scaleN[ci]          # per-row rho (eq boost)
             wrow = rho_cN[None, :] * DN_l[ci]
             PN = PN + DN_l[ci][:, None, :] * wrow[None, :, :]
-            pN = pN - (rho_cN * z[-1, ci] - y[-1, ci])[None, :] * DN_l[ci]
+            pN = pN - (rho_cN * zN[ci] - yN[ci])[None, :] * DN_l[ci]
 
         factors_arg = None
         if settings.cached_factors:
@@ -727,26 +827,7 @@ def solve_fused(
             refactor = jnp.any(rho != rho_f)
 
             if shared_mode:
-                # Batch-uniform rho (enforced above): the factor build
-                # runs ONCE on the W-wide pinned chunk and the cached
-                # (P, L, K) stream shared — the matrix half of the
-                # iteration never pays B in HBM.
-                def full_fn(rho_op):
-                    rho_u = rho_op[0]
-                    rho_vec = rho_u * mask_st            # (N, nc, W)
-                    PN_W = HN_W
-                    for ci in range(nc):
-                        wrow = (rho_u * scaleN_1[ci]) * DN_W[ci]
-                        PN_W = PN_W + DN_W[ci][:, None, :] \
-                            * wrow[None, :, :]
-                    K, _, M, _, P, L = pr.backward_lanes(
-                        A_l, B_l, jnp.zeros((N, nx, W), dt), H_l,
-                        jnp.zeros((N, nz, W), dt),
-                        Dst_l, rho_vec, jnp.zeros((N, nc, W), dt),
-                        PN_W, jnp.zeros((nx, W), dt),
-                        interpret=interpret, export_factors=True,
-                    )
-                    return (K, M, P, L, rho_op)
+                full_fn = _build_shared_factors
             else:
                 def full_fn(rho_op):
                     rho_vec = rho_op[None, None, :] * rsc
@@ -771,69 +852,56 @@ def solve_fused(
         w_st, z_st, y_st, xN, res = pa.admm_iter_lanes(
             A_k, B_k, c_k, H_k, h_k, D_k,
             lb_st, ub_st, mask_st, shift_st,
-            w[:-1], z[:-1], y[:-1], rho_row, PN, pN, x0_l,
+            w, z, y, rho_row, PN, pN, x0_l,
             nu=nu, cones=cones3, alpha=alpha, sigma=sigma,
             factors=factors_arg, shared=shared_mode,
             interpret=interpret,
         )
 
-        # Terminal stage (no control): relax/project/dual + residuals.
-        w_tN = jnp.concatenate([jnp.zeros((nu, Bb), dt), xN], axis=0)
-        z_tN = jnp.einsum("cxb,xb->cb", DN_l, xN)
-        w_newN = alpha * w_tN + (1.0 - alpha) * w[-1]
-        rhoN_m = rho[None, :] * scaleN
-        vN = alpha * z_tN + (1.0 - alpha) * z[-1] + jnp.where(
-            scaleN > 0, y[-1] / jnp.maximum(rhoN_m, 1e-30), 0.0)
-        projN = jnp.clip(vN, lbN, ubN)
-        for off, dim, kind in cones3:
-            blk = vN[off : off + dim]
-            if shift_l is not None:
-                sN = shift_l[-1, off : off + dim]
-                blk = projections.project_cone(blk + sN, kind, axis=0) - sN
-            else:
-                blk = projections.project_cone(blk, kind, axis=0)
-            projN = projN.at[off : off + dim].set(blk)
-        z_newN = projN * maskN
-        y_newN = y[-1] + rhoN_m * (
-            alpha * z_tN + (1.0 - alpha) * z[-1] - z_newN
-        )
+        return _terminal_tail(wN, zN, yN, rho, stats, fac,
+                              w_st, z_st, y_st, xN, res)
 
-        def HwN(v):                     # original terminal H (u rows 0)
-            hx = jnp.einsum("xyb,yb->xb", HN_l, v[nu:]) - sigma * v[nu:]
-            return jnp.concatenate([jnp.zeros((nu, Bb), dt), hx], axis=0)
+    def iteration_split(carry, _):
+        """Shared two-kernel iteration: the chunk-interleaved
+        (backward-vector, forward+tail) pallas pair with pinned
+        model/factor streams (ops/pallas_admm split kernels) — the
+        long-horizon shared serving path."""
+        from pdp_lqr_tpu.ops import pallas_admm as pa
 
-        DwN = jnp.einsum("czb,zb->cb", DallN, w_newN)
-        dwN = w[-1] - w_tN
-        zt_termN = rhoN_m * (
-            (alpha - 1.0) * (z_tN - z[-1]) + (z[-1] - z_newN)
-        )
-        dvecN = (
-            (1.0 - alpha) * HwN(dwN) + sigma * dwN
-            + jnp.einsum("czb,cb->zb", DallN, zt_termN)
-        )
-        amaxN = lambda x: jnp.max(jnp.abs(x), axis=0)
-        r_prim = jnp.maximum(res[0], amaxN(DwN - z_newN))
-        r_dual = jnp.maximum(res[1], amaxN(dvecN))
-        prim_scale = jnp.maximum(
-            res[2], jnp.maximum(amaxN(DwN), amaxN(z_newN))
-        )
-        dual_scale = jnp.maximum(
-            res[3],
-            jnp.maximum(
-                jnp.maximum(
-                    amaxN(HwN(w_newN)),
-                    amaxN(jnp.einsum("czb,cb->zb", DallN, y_newN)),
-                ),
-                h_absmax,
-            ),
-        )
+        w, wN, z, zN, y, yN, rho, stats, *fac = carry
+        rho_row = rho[None, :]                       # (1, B)
 
-        w_new = jnp.concatenate([w_st, w_newN[None]], axis=0)
-        z_new = jnp.concatenate([z_st, z_newN[None]], axis=0)
-        y_new = jnp.concatenate([y_st, y_newN[None]], axis=0)
-        out, _ = _finish_stats(w_new, z_new, y_new, rho, stats,
-                               r_prim, r_dual, prim_scale, dual_scale)
-        return out + tuple(fac), None
+        # Terminal linear fold (per-scenario vector, XLA — tiny).
+        pN = hN_base[nu:] - sigma * wN[nu:]
+        for ci in range(nc):
+            rho_cN = rho * scaleN[ci]
+            pN = pN - (rho_cN * zN[ci] - yN[ci])[None, :] * DN_l[ci]
+
+        K_f, M_f, P_f, L_f, rho_f = fac[0]
+        refactor = jnp.any(rho != rho_f)
+        fac_new = jax.lax.cond(
+            refactor, _build_shared_factors,
+            lambda _: (K_f, M_f, P_f, L_f, rho_f), rho,
+        )
+        fac = [fac_new]
+        K_c, M_c, P_c, L_c, _ = fac_new
+
+        d_l, v_l = pa.admm_bwd_vec_lanes(
+            rho_row, pN, A_k, B_k, h_k, D_k, mask_st, P_c, L_c, K_c,
+            c_k, w, z, y,
+            nu=nu, sigma=sigma, interpret=interpret,
+        )
+        shift_st = None
+        if shift_l is not None:
+            shift_st = jnp.broadcast_to(shift_l[:-1], (N, nc, Wst))
+        w_st, z_st, y_st, xN, res = pa.admm_fwd_update_lanes(
+            rho_row, x0_l, M_c, K_c, H_k, D_k, lb_st, ub_st, mask_st,
+            shift_st, v_l, d_l, w, z, y,
+            nu=nu, cones=cones3, alpha=alpha, sigma=sigma,
+            interpret=interpret,
+        )
+        return _terminal_tail(wN, zN, yN, rho, stats, fac,
+                              w_st, z_st, y_st, xN, res)
 
     if residual_weights is not None:
         pwt_l = residual_weights[0][..., None]   # (N+1, nc, 1)
@@ -988,9 +1056,18 @@ def solve_fused(
         # the batch max (the conservative OSQP choice) so the uniform
         # invariant holds from iteration 0.
         rho0 = jnp.broadcast_to(jnp.max(rho0), (Bb,))
-    carry0 = (
-        l3(state.w), l3(state.z), l3(state.y), rho0, stats0,
-    )
+    # The fused-kernel bodies carry the terminal row as separate leaves
+    # (see _terminal_tail): the per-iteration w[:-1] slices and
+    # terminal concatenations cost ~6 full-trajectory HBM copies.
+    split_carry = single_kernel or split_mode
+    w_l, z_l, y_l = l3(state.w), l3(state.z), l3(state.y)
+    if split_carry:
+        carry0 = (w_l[:-1], w_l[-1], z_l[:-1], z_l[-1],
+                  y_l[:-1], y_l[-1], rho0, stats0)
+        stats_idx = 7
+    else:
+        carry0 = (w_l, z_l, y_l, rho0, stats0)
+        stats_idx = 4
     if settings.cached_factors:
         if state.factors is not None:
             fac0 = state.factors
@@ -1000,20 +1077,28 @@ def solve_fused(
             fac0 = (zf(N, nu, nx), zf(N, nx, nx), zf(N, nx, nx),
                     zf(N, nu, nu), jnp.full((Bb,), -1.0, dt))
         carry0 = carry0 + (fac0,)
-    body = iteration_1k if single_kernel else iteration
+    body = iteration_1k if single_kernel else (
+        iteration_split if split_mode else iteration)
     if settings.early_exit:
         def _cond(carry):
-            k_it = carry[4][0]
-            conv = carry[4][4]
+            k_it = carry[stats_idx][0]
+            conv = carry[stats_idx][4]
             return (k_it < settings.max_iter) & ~jnp.all(conv)
 
-        (w, z, y, rho, stats, *fac_out) = jax.lax.while_loop(
+        out_carry = jax.lax.while_loop(
             _cond, lambda c: body(c, None)[0], carry0
         )
     else:
-        (w, z, y, rho, stats, *fac_out), _ = jax.lax.scan(
+        out_carry, _ = jax.lax.scan(
             body, carry0, None, length=settings.max_iter,
         )
+    if split_carry:
+        (w_s, wN, z_s, zN, y_s, yN, rho, stats, *fac_out) = out_carry
+        w = jnp.concatenate([w_s, wN[None]], axis=0)
+        z = jnp.concatenate([z_s, zN[None]], axis=0)
+        y = jnp.concatenate([y_s, yN[None]], axis=0)
+    else:
+        (w, z, y, rho, stats, *fac_out) = out_carry
     # Back to the batch-leading API layout (once).
     w_b = jnp.moveaxis(w, -1, 0)
     z_b = jnp.moveaxis(z, -1, 0)

@@ -1,0 +1,116 @@
+"""Split (two-kernel) shared ADMM iteration + interleaved sweeps.
+
+The split path (solvers/admm.solve_fused(single_kernel=False) on an
+UNBATCHED problem) runs each iteration as the chunk-interleaved
+(backward-vector, forward+tail) pallas pair of ops/pallas_admm with
+pinned model/factor streams — the long-horizon shared serving path.
+Parity vs the replicated two-kernel loop (independent math path) on
+identical iterations.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pdp_lqr_tpu.models import quadrotor
+from pdp_lqr_tpu.solvers import admm
+
+
+def _setup(N=8, B=6, soc=True):
+    p, cones = quadrotor(N=N, constrained=True, thrust_cone=soc,
+                         dtype=jnp.float64)
+    x0 = jnp.asarray(np.random.default_rng(0).normal(size=(B, 12)) * 0.05)
+    shift = None
+    if soc:
+        shift = jnp.zeros((N + 1, p.nc)).at[:, 16].set(8.0)
+    return p, tuple(cones or ()), x0, shift
+
+
+def test_split_matches_replicated_two_kernel():
+    p, cones, x0, shift = _setup()
+    B = x0.shape[0]
+    bp = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), p)
+    st = admm.ADMMSettings(max_iter=8, rho=0.1, adaptive_rho=False,
+                           cached_factors=True, uniform_rho=True)
+    st_ref = dataclasses.replace(st, cached_factors=False,
+                                 uniform_rho=False)
+    ws_ref, _, info_ref = admm.solve_fused(
+        bp, x0, cones, st_ref, soc_shift=shift, interpret=True,
+        single_kernel=False)
+    ws_sp, _, info_sp = admm.solve_fused(
+        p, x0, cones, st, soc_shift=shift, interpret=True,
+        single_kernel=False)
+    np.testing.assert_allclose(np.asarray(ws_sp), np.asarray(ws_ref),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(info_sp.r_prim),
+                               np.asarray(info_ref.r_prim), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(info_sp.r_dual),
+                               np.asarray(info_ref.r_dual), atol=1e-9)
+
+
+def test_split_adaptive_uniform_rho_matches_single_kernel():
+    p, cones, x0, shift = _setup()
+    st = admm.ADMMSettings(max_iter=8, rho=0.1, adaptive_rho=True,
+                           rho_update_interval=3,
+                           cached_factors=True, uniform_rho=True)
+    ws_1k, s1, _ = admm.solve_fused(p, x0, cones, st, soc_shift=shift,
+                                    interpret=True, single_kernel=True)
+    ws_sp, s2, _ = admm.solve_fused(p, x0, cones, st, soc_shift=shift,
+                                    interpret=True, single_kernel=False)
+    np.testing.assert_allclose(np.asarray(ws_sp), np.asarray(ws_1k),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(s2.rho), np.asarray(s1.rho),
+                               rtol=1e-12)
+
+
+def test_split_requires_cached_factors():
+    p, cones, x0, shift = _setup()
+    st = admm.ADMMSettings(max_iter=4, cached_factors=False)
+    with pytest.raises(ValueError, match="cached_factors"):
+        admm.solve_fused(p, x0, cones, st, soc_shift=shift,
+                         interpret=True, single_kernel=False)
+
+
+def test_split_early_exit_and_warm_start():
+    p, cones, x0, shift = _setup()
+    st = admm.ADMMSettings(max_iter=60, rho=0.1, adaptive_rho=False,
+                           cached_factors=True, uniform_rho=True,
+                           early_exit=True, eps_abs=1e-6, eps_rel=1e-6)
+    ws, state, info = admm.solve_fused(p, x0, cones, st, soc_shift=shift,
+                                       interpret=True,
+                                       single_kernel=False)
+    assert bool(jnp.all(info.converged))
+    # Warm restart (factors carried in state) converges immediately.
+    _, _, info2 = admm.solve_fused(p, x0, cones, st, state=state,
+                                   soc_shift=shift, interpret=True,
+                                   single_kernel=False)
+    assert int(jnp.max(info2.iterations)) <= 3
+
+
+def test_interleaved_vector_sweep_parity():
+    """backward_vectors_lanes(interleave=True) is bit-identical, incl.
+    the shared pinned-stream variant (multi-chunk grid)."""
+    from pdp_lqr_tpu.ops import pallas_riccati as pr
+
+    rng = np.random.default_rng(0)
+    N, nx, nu, B = 2, 3, 2, 1024
+    nz = nx + nu
+    f = lambda *s: jnp.asarray(rng.normal(size=s) * 0.1)
+    A, Bm, c = f(N, nx, nx, B), f(N, nx, nu, B), f(N, nx, B)
+    hf, P, K = f(N, nz, B), f(N, nx, nx, B), f(N, nu, nx, B)
+    Lr = rng.normal(size=(N, nu, nu, B)) * 0.1
+    for i in range(nu):
+        Lr[:, i, i, :] = 1.0 + abs(Lr[:, i, i, :])
+        for j in range(i + 1, nu):
+            Lr[:, i, j, :] = 0.0
+    L = jnp.asarray(Lr)
+    pN = f(nx, B)
+    d0, v0 = pr.backward_vectors_lanes(A, Bm, c, hf, P, K, L, pN,
+                                       interpret=True)
+    d1, v1 = pr.backward_vectors_lanes(A, Bm, c, hf, P, K, L, pN,
+                                       interpret=True, interleave=True)
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
