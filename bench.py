@@ -237,6 +237,40 @@ def run_check(on_cpu: bool) -> int:
     if not np.isfinite(errsc) or errsc > 1e-3:
         failures.append(f"conic_admm/shared_cached_1k: {errsc:.3e}")
 
+    # Split (two-kernel shared) iteration: chunk-interleaved
+    # (backward-vector, forward+tail) pair with pinned factor streams —
+    # the r5 long-horizon serving path's hardware lowering.
+    t0 = time.perf_counter()
+    wsp = np.asarray(jax.jit(lambda p, x: admm_mod.solve_fused(
+        p, x, tuple(cones),
+        _dc.replace(cst, cached_factors=True, uniform_rho=True),
+        soc_shift=shift, interpret=on_cpu,
+        single_kernel=False)[0])(cp, cx0))
+    errsp = float(np.abs(wsp - w2k).max() / max(1.0, np.abs(w2k).max()))
+    results["conic_admm/split_kernel"] = errsp
+    print(f"# conic_admm/split_kernel: rel_err={errsp:.3e} "
+          f"(compile+run {time.perf_counter() - t0:.0f}s)",
+          file=sys.stderr, flush=True)
+    if not np.isfinite(errsp) or errsp > 1e-3:
+        failures.append(f"conic_admm/split_kernel: {errsp:.3e}")
+
+    # Rho-ladder mode (R=2 rungs, fixed rho on rung 0.1): the in-kernel
+    # rung-selection folds must reproduce the plain path exactly when
+    # every instance sits on one rung.
+    t0 = time.perf_counter()
+    wld = np.asarray(jax.jit(lambda p, x: admm_mod.solve_fused(
+        p, x, tuple(cones),
+        _dc.replace(cst, rho_ladder=(0.1, 1.0)),
+        soc_shift=shift, interpret=on_cpu,
+        single_kernel=False)[0])(cp, cx0))
+    errld = float(np.abs(wld - w2k).max() / max(1.0, np.abs(w2k).max()))
+    results["conic_admm/rho_ladder"] = errld
+    print(f"# conic_admm/rho_ladder: rel_err={errld:.3e} "
+          f"(compile+run {time.perf_counter() - t0:.0f}s)",
+          file=sys.stderr, flush=True)
+    if not np.isfinite(errld) or errld > 1e-3:
+        failures.append(f"conic_admm/rho_ladder: {errld:.3e}")
+
     worst = max(results.values())
     print(json.dumps({
         "metric": "on-device cross-backend parity (max rel err, f32, "
@@ -292,10 +326,14 @@ def run_admm_bench(args, on_cpu: bool, backend: str) -> int:
         bp = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (B,) + x.shape), problem)
     x0s = jnp.full((B, problem.nx), 0.03, jnp.float32)
+    ladder = tuple(float(r) for r in args.ladder.split(",")) \
+        if args.ladder else ()
     settings = admm.ADMMSettings(
         max_iter=K, rho_update_interval=25, rho=0.1,
-        eps_abs=1e-4, eps_rel=1e-4, cached_factors=cached,
-        uniform_rho=shared and cached,
+        eps_abs=1e-4, eps_rel=1e-4,
+        cached_factors=cached and not ladder,
+        uniform_rho=shared and cached and not ladder,
+        rho_ladder=ladder,
     )
     single_kernel = args.single_kernel and not args.split
     storage_dt = jnp.bfloat16 \
@@ -338,7 +376,9 @@ def run_admm_bench(args, on_cpu: bool, backend: str) -> int:
         label += "+shared"
     if storage_dt is not None:
         label += "+bf16"
-    if cached:
+    if ladder:
+        label += f"+rho-ladder-R{len(ladder)}"   # per-instance rho
+    elif cached:
         label += "+cached-factors"
         if shared:
             label += "+uniform-rho"
@@ -396,6 +436,11 @@ def main():
                          "(BASELINE.json config #3) — box constraints "
                          "plus one second-order cone per stage; also "
                          "reports convergence stats")
+    ap.add_argument("--ladder", default="",
+                    help="--admm --split only: comma-separated rho "
+                         "rungs (per-instance adaptive rho on a "
+                         "static grid, factors per rung on the "
+                         "pinned streams)")
     ap.add_argument("--split", action="store_true",
                     help="--admm only: shared split iteration (chunk-"
                          "interleaved backward-vector + forward+tail "

@@ -58,6 +58,10 @@ def main():
                     help="skip the dense-operator path (OOM-scale M)")
     ap.add_argument("--skip-batch", action="store_true",
                     help="skip the fused-batch section (latency-only runs)")
+    ap.add_argument("--bf16-op", action="store_true",
+                    help="also time the bf16-storage operator (halves "
+                         "the HBM-bound replan stream; ~1e-3 consistent "
+                         "perturbation — serving mode)")
     args = ap.parse_args()
 
     from pdp_lqr_tpu.solvers import admm
@@ -184,6 +188,9 @@ def main():
             problem, rho=1.0, num_segments=S, settings=rt_settings(K),
             cones=cones)
         time_operator(cop, f"condensed operator (S={S}) path")
+        if args.bf16_op:
+            time_operator(realtime.cast_operator(cop, jnp.bfloat16),
+                          f"condensed operator (S={S}, bf16) path")
         time_rebuild(
             lambda r: realtime.build_condensed_operator(
                 problem, r, num_segments=S, settings=rt_settings(K),

@@ -388,39 +388,69 @@ def _admm_iter_kernel(nu, nx, nc, N, T, cones, alpha, sigma, has_shift,
 # Both require shared mode with batch-uniform rho (pinned factors).
 
 
-def _admm_bwd_vec_kernel_il(nu, nx, nc, T, chunk, sigma,
-                            rho_ref, pN_ref,
-                            A_ref, B_ref, h_ref, D_ref, m_ref,
-                            P_ref, L_ref, K_ref,
-                            c_ref, w_ref, z_ref, y_ref,
-                            d_ref, v_ref, p_scr):
+def _rung_select(full, rows, sel):
+    """Per-lane rung selection of a (R*rows, cols, chunk) factor block:
+    sum_r full[r*rows:(r+1)*rows] * onehot_r — R broadcast FMAs/row."""
+    R = len(sel)
+    out = full[:rows] * sel[0][None, None, :]
+    for r in range(1, R):
+        out = out + full[r * rows : (r + 1) * rows] * sel[r][None, None, :]
+    return out
+
+
+def _admm_bwd_vec_kernel_il(nu, nx, nc, T, chunk, sigma, R,
+                            rho_ref, *refs):
+    if R > 1:
+        oh_ref, *refs = refs
+    (pN_ref,
+     A_ref, B_ref, h_ref, D_ref, m_ref,
+     P_ref, L_ref, K_ref,
+     c_ref, wzy_ref,
+     dv_ref, p_scr) = refs
+    # rho/pN are UNBLOCKED full-VMEM residents (tiny, fetched once per
+    # kernel launch): blocked (0,...,b) windows would re-issue a DMA on
+    # every minor grid step — thousands of issues for KBs of data.
+    nz = nu + nx
     t = pl.program_id(0)
     ch = pl.program_id(1)
     sl = pl.ds(ch * chunk, chunk)
 
     @pl.when(t == 0)
     def _():
-        p_scr[:, sl] = pN_ref[:]
+        p_scr[:, sl] = pN_ref[:, sl]
 
     cdt = p_scr.dtype
-    rho = rho_ref[0]                              # (chunk,)
+    rho = rho_ref[0, sl]                          # (chunk,)
+    sel = [oh_ref[r, sl] for r in range(R)] if R > 1 else None
     p = p_scr[:, sl]
     for i in range(T - 1, -1, -1):
         A = A_ref[i].astype(cdt)
         Bm = B_ref[i].astype(cdt)
         c = c_ref[i].astype(cdt)
-        h = h_ref[i].astype(cdt) - sigma * w_ref[i]
+        # Per-scenario iterates ride ONE packed window: rows
+        # [w (nz) | z (nc) | y (nc)] (fewer DMA issues — the sweeps
+        # are per-window-overhead-bound, docs/KERNEL_DESIGN.md).
+        wzy = wzy_ref[i]
+        h = h_ref[i].astype(cdt) - sigma * wzy[:nz]
         if nc > 0:
             D = D_ref[i].astype(cdt)
-            z = z_ref[i]
-            y = y_ref[i]
             m = m_ref[i]
             for ci in range(nc):
-                rg_c = rho * m[ci] * z[ci] - y[ci]     # (chunk,)
+                rg_c = (rho * m[ci] * wzy[nz + ci]
+                        - wzy[nz + nc + ci])           # (chunk,)
                 h = h - rg_c[None, :] * D[ci]
-        P = P_ref[i]
-        K = K_ref[i]
-        Lt = L_ref[i]
+        if R > 1:
+            # Rho-ladder mode: R rungs' factors ride the pinned streams
+            # stacked on rows; each lane folds its own rung's factors
+            # (per-instance adaptive rho without per-instance factor
+            # streams in HBM).
+            P = _rung_select(P_ref[i].astype(cdt), nx, sel)
+            K = _rung_select(K_ref[i].astype(cdt), nu, sel)
+            Lt = _rung_select(L_ref[i].astype(cdt), nu, sel)
+        else:
+            P = P_ref[i].astype(cdt)
+            K = K_ref[i].astype(cdt)
+            Lt = L_ref[i].astype(cdt)
         L = [[Lt[li, lj] if lj <= li else None for lj in range(nu)]
              for li in range(nu)]
 
@@ -429,24 +459,28 @@ def _admm_bwd_vec_kernel_il(nu, nx, nc, T, chunk, sigma,
         d = -jnp.stack(
             _chol_solve_lanes(L, [rbar[ri] for ri in range(nu)]), axis=0
         )
-        d_ref[i] = d
-        v_ref[i] = _mv(Bm, d) + c
+        dv_ref[i] = jnp.concatenate([d, _mv(Bm, d) + c], axis=0)
         p = h[nu:] + _mtv(A, Pcp) + _mtv(K, rbar)
     p_scr[:, sl] = p
 
 
 def _admm_fwd_update_kernel_il(nu, nx, nc, T, chunk, cones, alpha, sigma,
-                               has_shift, *refs):
-    (rho_ref, x0_ref,
+                               has_shift, R, *refs):
+    nz = nu + nx
+    rho_ref, *refs = refs
+    if R > 1:
+        oh_ref, *refs = refs
+    (x0_ref,
      M_ref, K_ref, Hs_ref, D_ref, lb_ref, ub_ref, m_ref, *rest) = refs
     if has_shift:
         sh_ref, *rest = rest
     else:
         sh_ref = None
-    (v_ref, d_ref, w_ref, z_ref, y_ref,
-     wn_ref, zn_ref, yn_ref, xN_ref, res_ref,
+    (dv_ref, wzy_ref,
+     wzyn_ref, xN_ref, res_ref,
      x_scr, acc_scr) = rest
 
+    # rho/x0/xN/res are UNBLOCKED full-VMEM residents (see kernel A).
     t = pl.program_id(0)
     ch = pl.program_id(1)
     nt = pl.num_programs(0)
@@ -454,23 +488,30 @@ def _admm_fwd_update_kernel_il(nu, nx, nc, T, chunk, cones, alpha, sigma,
 
     @pl.when(t == 0)
     def _():
-        x_scr[:, sl] = x0_ref[:]
+        x_scr[:, sl] = x0_ref[:, sl]
         acc_scr[:, sl] = jnp.zeros_like(acc_scr[:, sl])
 
     cdt = x_scr.dtype
-    rho = rho_ref[0]
+    rho = rho_ref[0, sl]
+    sel = [oh_ref[r, sl] for r in range(R)] if R > 1 else None
     x = x_scr[:, sl]
     acc = acc_scr[:, sl]
     for i in range(T):
-        K = K_ref[i]
-        d = d_ref[i]
-        u = _mv(K, x) + d
+        if R > 1:
+            K = _rung_select(K_ref[i].astype(cdt), nu, sel)
+            M = _rung_select(M_ref[i].astype(cdt), nx, sel)
+        else:
+            K = K_ref[i].astype(cdt)
+            M = M_ref[i].astype(cdt)
+        dv = dv_ref[i]                                 # [d (nu) | v (nx)]
+        u = _mv(K, x) + dv[:nu]
         w_t = jnp.concatenate([u, x], axis=0)          # (nz, chunk)
-        x = _mv(M_ref[i], x) + v_ref[i]
+        x = _mv(M, x) + dv[nu:]
 
-        w = w_ref[i]
-        z = z_ref[i]
-        y = y_ref[i]
+        wzy = wzy_ref[i]                               # [w | z | y]
+        w = wzy[:nz]
+        z = wzy[nz : nz + nc]
+        y = wzy[nz + nc :]
         D = D_ref[i].astype(cdt)
         m = m_ref[i]
         lb = lb_ref[i]
@@ -487,9 +528,7 @@ def _admm_fwd_update_kernel_il(nu, nx, nc, T, chunk, cones, alpha, sigma,
         y_new = y + rho_m * (
             alpha * z_t + (1.0 - alpha) * z - z_new
         )
-        wn_ref[i] = w_new
-        zn_ref[i] = z_new
-        yn_ref[i] = y_new
+        wzyn_ref[i] = jnp.concatenate([w_new, z_new, y_new], axis=0)
 
         Hs = Hs_ref[i].astype(cdt)
         Dw_new = _mv(D, w_new)
@@ -520,8 +559,22 @@ def _admm_fwd_update_kernel_il(nu, nx, nc, T, chunk, cones, alpha, sigma,
 
     @pl.when(t == nt - 1)
     def _():
-        xN_ref[:] = x
-        res_ref[:] = acc
+        xN_ref[:, sl] = x
+        res_ref[:, sl] = acc
+
+
+def _split_stages(N, words_per_stage, temp_words, chunk, dtype_bytes):
+    """Stages per grid step for the split kernels — like _pick_stages
+    but allowing T=16: these kernels are per-window-overhead-bound and
+    their per-stage bodies are vector-only (no nz^2 matrix products),
+    so a deeper unroll stays compilable."""
+    from pdp_lqr_tpu.ops.pallas_riccati import STAGE_BLOCK_BUDGET
+
+    for T in (16, 8, 4, 2):
+        est = (2 * T * words_per_stage + temp_words) * chunk * dtype_bytes
+        if N % T == 0 and est <= STAGE_BLOCK_BUDGET:
+            return T
+    return 1
 
 
 def _split_words(nx, nu, nc, has_shift, sw):
@@ -530,14 +583,14 @@ def _split_words(nx, nu, nc, has_shift, sw):
     wa = (sw * (nx * nx + nx * nu + nz + nc * nz + nx)   # A B h D c
           + nc                                           # mask
           + nx * nx + nu * nu + nu * nx                  # P L K
-          + nz + 2 * nc                                  # w z y
-          + nu + nx)                                     # d v out
+          + nz + 2 * nc                                  # wzy
+          + nu + nx)                                     # dv out
     wb = (nx * nx + nu * nx                              # M K
           + sw * (nz * nz + nc * nz)                     # Hs D
           + 3 * nc + (nc if has_shift else 0)            # lb ub mask shift
-          + nx + nu                                      # v d
-          + nz + 2 * nc                                  # w z y
-          + nz + 2 * nc)                                 # outputs
+          + nx + nu                                      # dv
+          + nz + 2 * nc                                  # wzy
+          + nz + 2 * nc)                                 # wzy out
     return wa, wb
 
 
@@ -553,8 +606,8 @@ def split_width(Bt, nx, nu, nc, has_shift=False, storage_dtype=None,
     return max(ca, cb)
 
 
-def admm_bwd_vec_lanes(rho, pN, A, B, h, D, mask, P, L, K, c, w, z, y,
-                       *, nu, sigma, interpret=False):
+def admm_bwd_vec_lanes(rho, pN, A, B, h, D, mask, P, L, K, c, wzy,
+                       *, nu, sigma, ladder_oh=None, interpret=False):
     """Split-iteration kernel A: in-kernel iterate fold + cached vector
     sweep, chunk-interleaved, shared-stage streams pinned.
 
@@ -562,16 +615,26 @@ def admm_bwd_vec_lanes(rho, pN, A, B, h, D, mask, P, L, K, c, w, z, y,
     (N,nx,nx,W), B (N,nx,nu,W), h (N,nz,W) raw, D (N,nc,nz,W), mask
     (N,nc,W) per-row rho scale, and the cached factors P/L/K from
     backward_lanes(export_factors=True).  Per-scenario: rho (1,B), pN
-    (nx,B) the iterate-folded terminal linear cost, c (N,nx,B), w/z/y
-    current iterates.  Returns (d (N,nu,B), v (N,nx,B))."""
+    (nx,B) the iterate-folded terminal linear cost, c (N,nx,B), and the
+    PACKED iterates wzy (N, nz+2nc, B) = [w | z | y] (one window per
+    grid step — the sweeps are per-window-overhead-bound).
+    Returns dv (N, nu+nx, B) = [d | v].
+
+    ``ladder_oh`` ((R, B) one-hot rung selectors) enables the
+    rho-LADDER mode: the factor streams carry R rungs stacked on rows
+    (P (N, R*nx, nx, W) etc.) and each lane folds its own rung's
+    factors — per-instance adaptive rho on a static rung grid with the
+    pinned-stream economics intact."""
     N, nx = A.shape[0], A.shape[1]
-    Bt = w.shape[-1]
+    Bt = wzy.shape[-1]
     nc = D.shape[1]
     nz = nx + nu
-    dt = w.dtype
+    dt = wzy.dtype
+    R = P.shape[1] // nx
     c_item = jnp.dtype(dt).itemsize
     sw = jnp.dtype(A.dtype).itemsize / c_item
     words, _ = _split_words(nx, nu, nc, False, sw)
+    words += (R - 1) * (nx * nx + nu * nu + nu * nx)   # extra rungs
     chunk = _pick_chunk(Bt, int(words) + 1, 24 * nz * nz, c_item)
     A = _shared_slice("A", A, chunk)
     B = _shared_slice("B", B, chunk)
@@ -582,7 +645,7 @@ def admm_bwd_vec_lanes(rho, pN, A, B, h, D, mask, P, L, K, c, w, z, y,
     L = _shared_slice("L", L, chunk)
     K = _shared_slice("K", K, chunk)
     n_chunks = Bt // chunk
-    T = _pick_stages(N, int(words) + 1, 24 * nz * nz, chunk, c_item)
+    T = _split_stages(N, int(words) + 1, 24 * nz * nz, chunk, c_item)
 
     NT = N // T
     stage = lambda *dims: pl.BlockSpec(
@@ -595,55 +658,59 @@ def admm_bwd_vec_lanes(rho, pN, A, B, h, D, mask, P, L, K, c, w, z, y,
         lambda t, b: (NT - 1 - t,) + (0,) * (len(dims) - 1) + (0,),
         memory_space=pltpu.VMEM,
     )
-    whole = lambda *dims: pl.BlockSpec(
-        dims[:-1] + (chunk,),
-        lambda t, b: (0,) * (len(dims) - 1) + (b,),
-        memory_space=pltpu.VMEM,
-    )
     kernel = functools.partial(_admm_bwd_vec_kernel_il, nu, nx, nc, T,
-                               chunk, sigma)
+                               chunk, sigma, R)
+    resident = pl.BlockSpec(memory_space=pltpu.VMEM)   # tiny, once
+    in_specs = [resident]
+    args = [rho]
+    if R > 1:
+        in_specs.append(resident)
+        args.append(ladder_oh)
+    in_specs += [
+        resident,
+        stage_sh(nx, nx, Bt), stage_sh(nx, nu, Bt),
+        stage_sh(nz, Bt), stage_sh(nc, nz, Bt), stage_sh(nc, Bt),
+        stage_sh(R * nx, nx, Bt), stage_sh(R * nu, nu, Bt),
+        stage_sh(R * nu, nx, Bt),
+        stage(nx, Bt), stage(nz + 2 * nc, Bt),
+    ]
+    args += [pN, A, B, h, D, mask, P, L, K, c, wzy]
     return pl.pallas_call(
         kernel,
         grid=(NT, n_chunks),
-        in_specs=[
-            whole(1, Bt), whole(nx, Bt),
-            stage_sh(nx, nx, Bt), stage_sh(nx, nu, Bt),
-            stage_sh(nz, Bt), stage_sh(nc, nz, Bt), stage_sh(nc, Bt),
-            stage_sh(nx, nx, Bt), stage_sh(nu, nu, Bt),
-            stage_sh(nu, nx, Bt),
-            stage(nx, Bt), stage(nz, Bt), stage(nc, Bt), stage(nc, Bt),
-        ],
-        out_specs=(stage(nu, Bt), stage(nx, Bt)),
-        out_shape=(
-            jax.ShapeDtypeStruct((N, nu, Bt), dt),
-            jax.ShapeDtypeStruct((N, nx, Bt), dt),
-        ),
+        in_specs=in_specs,
+        out_specs=stage(nu + nx, Bt),
+        out_shape=jax.ShapeDtypeStruct((N, nu + nx, Bt), dt),
         scratch_shapes=[pltpu.VMEM((nx, Bt), dt)],
         compiler_params=_compiler_params(interpret),
         interpret=interpret,
-    )(rho, pN, A, B, h, D, mask, P, L, K, c, w, z, y)
+    )(*args)
 
 
 def admm_fwd_update_lanes(rho, x0, M, K, Hs, D, lb, ub, mask, shift,
-                          v, d, w, z, y, *, nu, cones, alpha, sigma,
-                          interpret=False):
+                          dv, wzy, *, nu, cones, alpha, sigma,
+                          ladder_oh=None, interpret=False):
     """Split-iteration kernel B: closed-loop rollout + relax / project /
     dual / residual tail, chunk-interleaved, shared streams pinned.
 
     Shared streams: M (N,nx,nx,W) closed-loop map, K (N,nu,nx,W), Hs
     (N,nz,nz,W) sigma-folded Hessian (residuals only), D, lb, ub, mask
     (rho-scale), shift or None.  Per-scenario: rho (1,B), x0 (nx,B),
-    (v, d) from kernel A, w/z/y iterates.  Returns (w+, z+, y+, xN,
-    res (4,B)) like admm_iter_lanes (caller folds the terminal)."""
-    N, nx = M.shape[0], M.shape[1]
-    Bt = w.shape[-1]
+    dv = [d | v] from kernel A, and the PACKED iterates wzy
+    (N, nz+2nc, B).  Returns (wzy_new, xN, res (4,B)) — the caller
+    folds the terminal stage.  ``ladder_oh``: see admm_bwd_vec_lanes
+    (M/K then carry R rungs stacked on rows)."""
+    N, nx = M.shape[0], M.shape[2]
+    Bt = wzy.shape[-1]
     nc = D.shape[1]
     nz = nx + nu
-    dt = w.dtype
+    dt = wzy.dtype
+    R = M.shape[1] // nx
     has_shift = shift is not None
     c_item = jnp.dtype(dt).itemsize
     sw = jnp.dtype(Hs.dtype).itemsize / c_item
     _, words = _split_words(nx, nu, nc, has_shift, sw)
+    words += (R - 1) * (nx * nx + nu * nx)             # extra rungs
     chunk = _pick_chunk(Bt, int(words) + 1, 24 * nz * nz, c_item)
     M = _shared_slice("M", M, chunk)
     K = _shared_slice("K", K, chunk)
@@ -655,7 +722,7 @@ def admm_fwd_update_lanes(rho, x0, M, K, Hs, D, lb, ub, mask, shift,
     if has_shift:
         shift = _shared_slice("shift", shift, chunk)
     n_chunks = Bt // chunk
-    T = _pick_stages(N, int(words) + 1, 24 * nz * nz, chunk, c_item)
+    T = _split_stages(N, int(words) + 1, 24 * nz * nz, chunk, c_item)
     NT = N // T
 
     stage = lambda *dims: pl.BlockSpec(
@@ -668,41 +735,39 @@ def admm_fwd_update_lanes(rho, x0, M, K, Hs, D, lb, ub, mask, shift,
         lambda t, b: (t,) + (0,) * (len(dims) - 1) + (0,),
         memory_space=pltpu.VMEM,
     )
-    whole = lambda *dims: pl.BlockSpec(
-        dims[:-1] + (chunk,),
-        lambda t, b: (0,) * (len(dims) - 1) + (b,),
-        memory_space=pltpu.VMEM,
-    )
-    in_specs = [
-        whole(1, Bt), whole(nx, Bt),
-        stage_sh(nx, nx, Bt), stage_sh(nu, nx, Bt),
+    resident = pl.BlockSpec(memory_space=pltpu.VMEM)   # tiny, once
+    in_specs = [resident]
+    args = [rho]
+    if R > 1:
+        in_specs.append(resident)
+        args.append(ladder_oh)
+    in_specs += [
+        resident,
+        stage_sh(R * nx, nx, Bt), stage_sh(R * nu, nx, Bt),
         stage_sh(nz, nz, Bt), stage_sh(nc, nz, Bt),
         stage_sh(nc, Bt), stage_sh(nc, Bt), stage_sh(nc, Bt),
     ]
-    args = [rho, x0, M, K, Hs, D, lb, ub, mask]
+    args += [x0, M, K, Hs, D, lb, ub, mask]
     if has_shift:
         in_specs.append(stage_sh(nc, Bt))
         args.append(shift)
-    in_specs += [stage(nx, Bt), stage(nu, Bt),
-                 stage(nz, Bt), stage(nc, Bt), stage(nc, Bt)]
-    args += [v, d, w, z, y]
+    in_specs += [stage(nu + nx, Bt), stage(nz + 2 * nc, Bt)]
+    args += [dv, wzy]
 
     kernel = functools.partial(
         _admm_fwd_update_kernel_il, nu, nx, nc, T, chunk, tuple(cones),
-        alpha, sigma, has_shift,
+        alpha, sigma, has_shift, R,
     )
     return pl.pallas_call(
         kernel,
         grid=(NT, n_chunks),
         in_specs=in_specs,
         out_specs=(
-            stage(nz, Bt), stage(nc, Bt), stage(nc, Bt),
-            whole(nx, Bt), whole(4, Bt),
+            stage(nz + 2 * nc, Bt),
+            resident, resident,
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((N, nz, Bt), dt),
-            jax.ShapeDtypeStruct((N, nc, Bt), dt),
-            jax.ShapeDtypeStruct((N, nc, Bt), dt),
+            jax.ShapeDtypeStruct((N, nz + 2 * nc, Bt), dt),
             jax.ShapeDtypeStruct((nx, Bt), dt),
             jax.ShapeDtypeStruct((4, Bt), dt),
         ),

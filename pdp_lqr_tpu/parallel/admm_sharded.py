@@ -74,11 +74,18 @@ def _build(mesh: Mesh, nu: int, nc: int,
         lanes3 = lambda x: jnp.transpose(x, (1, 2, 3, 0))
         lanes2 = lambda x: jnp.transpose(x, (1, 2, 0))
 
-        # Static lanes layouts (live across the whole loop).
+        # Static lanes layouts (live across the whole loop).  The
+        # whole iteration — folds, projections, duals, residuals —
+        # runs batch-in-lanes (r5, VERDICT #6): the old batch-leading
+        # (Bl, Nl, nc) elementwise tails put nc on the 128-lane tile
+        # (8x padding) and dominated the iteration cost.
         A_l, B_l, c_l = lanes3(A), lanes3(B), lanes2(c)
         Hs_l = lanes3(H + sigma * jnp.eye(nz, dtype=dt))
         D_l = lanes3(D)
         h_l = lanes2(h)
+        lb_l, ub_l = lanes2(lb), lanes2(ub)
+        # shift is stage rows, UNBATCHED (Nl, nc): broadcast on lanes.
+        sh_l = shift[:, :, None] if has_shift else None
         HNs = HN[:, nu:, nu:] + sigma * jnp.eye(nx, dtype=dt)
         DNx = DN[:, :, nu:]
 
@@ -100,13 +107,48 @@ def _build(mesh: Mesh, nu: int, nc: int,
         rsc = mask * jnp.where(jnp.isfinite(lb) & (lb == ub), boost, 1.0)
         rscN = maskN * jnp.where(
             jnp.isfinite(lbN) & (lbN == ubN), boost, 1.0)
+        rsc_l = lanes2(rsc)                              # (Nl, nc, Bl)
+        mask_l = lanes2(mask)
 
-        Dw = lambda w: jnp.einsum("bkcz,bkz->bkc", D, w)
+        # Unrolled lanes constraint ops (compact (rows, Bl) tiles; the
+        # pattern measured ~12x faster in solvers/admm.solve_fused).
+        def Dw_l(w):                       # (Nl, nc, Bl) = D w
+            acc = D_l[:, :, 0, :] * w[:, None, 0, :]
+            for zi in range(1, nz):
+                acc = acc + D_l[:, :, zi, :] * w[:, None, zi, :]
+            return acc
+
+        def DTv_l(vc):                     # (Nl, nz, Bl) = D^T vc
+            if nc == 0:
+                return jnp.zeros((Nl, nz, Bl), dt)
+            acc = D_l[:, 0, :, :] * vc[:, 0, None, :]
+            for ci in range(1, nc):
+                acc = acc + D_l[:, ci, :, :] * vc[:, ci, None, :]
+            return acc
+
+        def Hw_l(wv):                      # (Nl, nz, Bl) = (Hs-sigma) w
+            acc = Hs_l[:, :, 0, :] * wv[:, None, 0, :]
+            for zi in range(1, nz):
+                acc = acc + Hs_l[:, :, zi, :] * wv[:, None, zi, :]
+            return acc - sigma * wv
+
+        def project_l(v):
+            out = jnp.clip(v, lb_l, ub_l)
+            for off, dim, kind in projections.normalize_cones(cones):
+                blk = v[:, off:off + dim, :]
+                if has_shift:
+                    s = sh_l[:, off:off + dim, :]
+                    blk = projections.project_cone(
+                        blk + s, kind, axis=-2) - s
+                else:
+                    blk = projections.project_cone(blk, kind, axis=-2)
+                out = out.at[:, off:off + dim, :].set(blk)
+            return out
+
         DwN = lambda w: jnp.einsum("bcz,bz->bc", DN, w)
-        DTv = lambda vc: jnp.einsum("bkcz,bkc->bkz", D, vc)
         DTvN = lambda vc: jnp.einsum("bcz,bc->bz", DN, vc)
 
-        def project(v, lo, hi, sh):
+        def projectN(v, lo, hi, sh):
             out = jnp.clip(v, lo, hi)
             for off, dim, kind in projections.normalize_cones(cones):
                 blk = v[..., off:off + dim]
@@ -120,21 +162,23 @@ def _build(mesh: Mesh, nu: int, nc: int,
 
         pmax_t = lambda x: jax.lax.pmax(x, "time")
 
-        def x_update(w, wN, z, zN, y, yN, rho, factors):
+        def x_update(w_l, z_l, y_l, wN, zN, yN, rho, factors):
             """Inner KKT solve (reference update_problem_data +
             backward + forward) through the sharded fused-PDP path —
-            cached (vector-only) when factors are given."""
-            rho_b = rho[:, None, None]
-            rho_vec = rho_b * rsc
+            cached (vector-only) when factors are given.  Stage
+            iterates are lanes-resident; only the terminal row (one
+            stage, replicated over "time") stays batch-leading."""
+            rho_row = rho[None, None, :]
+            rho_vec = rho_row * rsc_l                     # (Nl, nc, Bl)
             rhoN_vec = rho[:, None] * rscN
             inv_rho = jnp.where(
-                rsc > 0, 1.0 / jnp.maximum(rho_vec, 1e-30), 0.0)
+                rsc_l > 0, 1.0 / jnp.maximum(rho_vec, 1e-30), 0.0)
             inv_rhoN = jnp.where(
                 rscN > 0, 1.0 / jnp.maximum(rhoN_vec, 1e-30), 0.0)
-            g = z - inv_rho * y
+            g = z_l - inv_rho * y_l
             gN = zN - inv_rhoN * yN
 
-            h_t = h - sigma * w                           # (Bl, Nl, nz)
+            h_t = h_l - sigma * w_l                       # (Nl, nz, Bl)
             hN_t = hN.at[:, :nu].set(0.0) - sigma * (
                 wN.at[:, :nu].set(0.0))
             pNb = hN_t[:, nu:] - jnp.einsum(
@@ -147,73 +191,72 @@ def _build(mesh: Mesh, nu: int, nc: int,
                     "bci,bc,bcj->bij", DNx, rhoN_vec, DNx)
                 ws_l, xN = segment_solve_local(
                     S, interpret,
-                    A_l, B_l, c_l, Hs_l, lanes2(h_t), D_l,
-                    lanes2(rho_vec), lanes2(rho_vec * g), PNb, pNb, x0,
+                    A_l, B_l, c_l, Hs_l, h_t, D_l,
+                    rho_vec, rho_vec * g, PNb, pNb, x0,
                 )
             else:
-                hf = h_t - DTv(rho_vec * g)
+                hf = h_t - DTv_l(rho_vec * g)
                 ws_l, xN = segment_solve_cached(
                     S, interpret, factors,
-                    A_l, B_l, c_l, lanes2(hf), pNb, x0,
+                    A_l, B_l, c_l, hf, pNb, x0,
                 )
-            w_t = jnp.transpose(ws_l, (2, 0, 1))          # (Bl, Nl, nz)
             wN_t = jnp.concatenate(
                 [jnp.zeros((Bl, nu), dt), xN], axis=-1)
-            return w_t, wN_t, rho_vec, rhoN_vec, inv_rho, inv_rhoN
+            return ws_l, wN_t, rho_vec, rhoN_vec, inv_rho, inv_rhoN
 
         def iteration(carry, factors=None):
-            w, wN, z, zN, y, yN, rho, stats = carry
+            w_l, z_l, y_l, wN, zN, yN, rho, stats = carry
             k_it, iter_conv, _, _, _, _ = stats
             (w_t, wN_t, rho_vec, rhoN_vec,
-             inv_rho, inv_rhoN) = x_update(w, wN, z, zN, y, yN, rho,
-                                           factors)
+             inv_rho, inv_rhoN) = x_update(w_l, z_l, y_l, wN, zN, yN,
+                                           rho, factors)
 
-            z_t, zN_t = Dw(w_t), DwN(wN_t)
-            w_new = alpha * w_t + (1.0 - alpha) * w
+            z_t, zN_t = Dw_l(w_t), DwN(wN_t)
+            w_new = alpha * w_t + (1.0 - alpha) * w_l
             wN_new = alpha * wN_t + (1.0 - alpha) * wN
-            v = alpha * z_t + (1.0 - alpha) * z + inv_rho * y
+            v = alpha * z_t + (1.0 - alpha) * z_l + inv_rho * y_l
             vN = alpha * zN_t + (1.0 - alpha) * zN + inv_rhoN * yN
-            z_new = project(v, lb, ub, shift) * mask
-            zN_new = project(vN, lbN, ubN, shiftN) * maskN
-            y_new = y + rho_vec * (
-                alpha * z_t + (1.0 - alpha) * z - z_new)
+            z_new = project_l(v) * mask_l
+            zN_new = projectN(vN, lbN, ubN, shiftN) * maskN
+            y_new = y_l + rho_vec * (
+                alpha * z_t + (1.0 - alpha) * z_l - z_new)
             yN_new = yN + rhoN_vec * (
                 alpha * zN_t + (1.0 - alpha) * zN - zN_new)
 
             # Residuals: local partial maxima + one pmax over "time".
             # Terminal rows are replicated, so folding them into the
             # local max before the pmax is exact.
-            am = lambda x: jnp.max(jnp.abs(x), axis=(1, 2))      # (Bl,)
+            am = lambda x: jnp.max(jnp.abs(x), axis=(0, 1))      # (Bl,)
             amN = lambda x: jnp.max(jnp.abs(x), axis=-1)
             r_prim = pmax_t(jnp.maximum(
-                am((Dw(w_new) - z_new) * mask),
+                am((Dw_l(w_new) - z_new) * mask_l),
                 amN((DwN(wN_new) - zN_new) * maskN)))
-            dw = w - w_t
+            dw = w_l - w_t
             dwN = wN - wN_t
-            Hdw = jnp.einsum("bkij,bkj->bki", H, dw)
+            Hdw = Hw_l(dw)
             HdwN = jnp.einsum("bij,bj->bi", HN[:, nu:, nu:], dwN[:, nu:])
             zt_term = rho_vec * (
-                (alpha - 1.0) * (z_t - z) + (z - z_new))
+                (alpha - 1.0) * (z_t - z_l) + (z_l - z_new))
             ztN_term = rhoN_vec * (
                 (alpha - 1.0) * (zN_t - zN) + (zN - zN_new))
-            dvec = (1.0 - alpha) * Hdw + sigma * dw + DTv(zt_term)
+            dvec = (1.0 - alpha) * Hdw + sigma * dw + DTv_l(zt_term)
             dvecN = jnp.concatenate([
                 jnp.zeros((Bl, nu), dt),
                 (1.0 - alpha) * HdwN + sigma * dwN[:, nu:],
             ], axis=-1) + DTvN(ztN_term)
             r_dual = pmax_t(jnp.maximum(am(dvec), amN(dvecN)))
 
-            Hw_new = jnp.einsum("bkij,bkj->bki", H, w_new)
+            Hw_new = Hw_l(w_new)
             HwN_new = jnp.einsum(
                 "bij,bj->bi", HN[:, nu:, nu:], wN_new[:, nu:])
             prim_scale = pmax_t(jnp.maximum(
-                jnp.maximum(am(Dw(w_new) * mask), am(z_new)),
+                jnp.maximum(am(Dw_l(w_new) * mask_l), am(z_new)),
                 jnp.maximum(amN(DwN(wN_new) * maskN), amN(zN_new))))
             dual_scale = pmax_t(jnp.maximum(
                 jnp.maximum(am(Hw_new), amN(HwN_new)),
                 jnp.maximum(
-                    jnp.maximum(am(DTv(y_new)), amN(DTvN(yN_new))),
-                    jnp.maximum(am(h), amN(hN)))))
+                    jnp.maximum(am(DTv_l(y_new)), amN(DTvN(yN_new))),
+                    jnp.maximum(am(h_l), amN(hN)))))
             conv = (r_prim <= settings.eps_abs
                     + settings.eps_rel * prim_scale) \
                 & (r_dual <= settings.eps_abs
@@ -243,7 +286,7 @@ def _build(mesh: Mesh, nu: int, nc: int,
             all_conv = jax.lax.pmin(
                 jnp.all(conv).astype(jnp.int32), ("batch", "time"))
             stats = (k_next, iter_conv, r_prim, r_dual, conv, all_conv)
-            carry = (w_new, wN_new, z_new, zN_new, y_new, yN_new,
+            carry = (w_new, z_new, y_new, wN_new, zN_new, yN_new,
                      rho, stats)
             return carry
 
@@ -253,16 +296,17 @@ def _build(mesh: Mesh, nu: int, nc: int,
             rho = carry[6]
             rhoN_vec = rho[:, None] * rscN
             PNb = HNs + jnp.einsum("bci,bc,bcj->bij", DNx, rhoN_vec, DNx)
-            rho_vec = rho[:, None, None] * rsc
+            rho_vec = rho[None, None, :] * rsc_l
             return segment_factors_local(
-                S, interpret, A_l, B_l, Hs_l, D_l, lanes2(rho_vec), PNb)
+                S, interpret, A_l, B_l, Hs_l, D_l, rho_vec, PNb)
 
         stats0 = (
             jnp.asarray(0, jnp.int32), jnp.full((Bl,), -1, jnp.int32),
             jnp.full((Bl,), jnp.inf, dt), jnp.full((Bl,), jnp.inf, dt),
             jnp.zeros((Bl,), bool), jnp.asarray(0, jnp.int32),
         )
-        carry0 = (w0, wN0, z0, zN0, y0, yN0, rho0, stats0)
+        carry0 = (lanes2(w0), lanes2(z0), lanes2(y0),
+                  wN0, zN0, yN0, rho0, stats0)
         max_iter = settings.max_iter
         interval = max(1, settings.rho_update_interval)
 
@@ -321,9 +365,11 @@ def _build(mesh: Mesh, nu: int, nc: int,
                 lambda c, _: (iteration(c), None), carry0, None,
                 length=max_iter)
 
-        w, wN, z, zN, y, yN, rho, stats = carry
+        w_l, z_l, y_l, wN, zN, yN, rho, stats = carry
         k_it, iter_conv, r_prim, r_dual, conv, _ = stats
-        return (w, wN, z, zN, y, yN, rho,
+        unlanes = lambda x: jnp.transpose(x, (2, 0, 1))  # (Bl, Nl, ...)
+        return (unlanes(w_l), wN, unlanes(z_l), zN, unlanes(y_l), yN,
+                rho,
                 jnp.broadcast_to(k_it, (Bl,)), iter_conv,
                 r_prim, r_dual, conv)
 

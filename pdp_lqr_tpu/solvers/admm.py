@@ -75,6 +75,14 @@ class ADMMSettings:
     #   lqr_solver.hpp:65-70) — refactors automatically when any
     #   instance's rho moves.  Costs ~(2 nx^2 + nu nx + nu^2) N B words
     #   of HBM for the factor carry.
+    rho_ladder: tuple = ()        # solve_fused SPLIT mode: static rho
+    #   rung grid (e.g. (0.01, 0.1, 1.0, 10.0)).  Factors are built
+    #   once per rung (pinned streams, R rungs stacked on rows) and
+    #   each instance selects its rung in-kernel; adaptation moves
+    #   instances to the nearest rung (log space) on the OSQP
+    #   imbalance rule — PER-INSTANCE adaptive rho with batch-shared
+    #   factor streams (the middle ground between uniform_rho and the
+    #   per-instance replicated path).  Implies uniform_rho=False.
     early_exit: bool = False      # solve_fused: stop when EVERY batch
     #   instance converges (lax.while_loop instead of the fixed-trip
     #   scan).  Big win for warm-started serving batches; keep False
@@ -457,13 +465,17 @@ def solve_fused(
     N = N1 - 1
     nu, nx, nc = problem.nu, problem.nx, problem.nc
     nz = nu + nx
+    ladder = tuple(sorted(float(r) for r in settings.rho_ladder))
     if shared_mode and settings.cached_factors \
-            and not settings.uniform_rho:
+            and not settings.uniform_rho and not ladder:
         raise ValueError(
-            "shared-stage cached_factors needs uniform_rho=True: "
-            "per-instance rho would make the cached factors "
-            "per-instance, defeating the pinned-chunk streams"
+            "shared-stage cached_factors needs uniform_rho=True (or a "
+            "rho_ladder): per-instance rho would make the cached "
+            "factors per-instance, defeating the pinned-chunk streams"
         )
+    if ladder and settings.uniform_rho:
+        raise ValueError("rho_ladder IS the per-instance alternative "
+                         "to uniform_rho — set one, not both")
 
     if nc == 0:
         from pdp_lqr_tpu.problem import ADMMIterates as It
@@ -514,12 +526,17 @@ def solve_fused(
         # — no VMEM gain spill, shared streams cross HBM once per time
         # step).  The factor streams are pinned, so factors must be
         # batch-shared: cached_factors + (under adaptation) uniform_rho.
-        if not settings.cached_factors:
+        if not settings.cached_factors and not ladder:
             raise ValueError(
                 "shared-stage two-kernel (split) iteration requires "
-                "cached_factors=True: its backward kernel is the "
-                "cached vector sweep on pinned (P, L, K) streams"
+                "cached_factors=True (or a rho_ladder): its backward "
+                "kernel is the cached vector sweep on pinned "
+                "(P, L, K) streams"
             )
+    elif ladder:
+        raise ValueError("rho_ladder requires the shared split "
+                         "iteration (unbatched problem, "
+                         "single_kernel=False)")
     if residual_weights is not None and single_kernel:
         raise ValueError(
             "residual_weights (unscaled-residual termination) needs "
@@ -545,16 +562,21 @@ def solve_fused(
         # XLA-side terminal update.  With cached factors the kernel's
         # chunk differs — replicate wide enough for both (chunks are
         # powers of two; each consumer slices down).
-        W = pa.admm_chunk(Bb, N, nx, nu, nc, soc_shift is not None,
-                          storage_dtype, dt)
-        if settings.cached_factors:
-            W = max(W, pa.admm_chunk(Bb, N, nx, nu, nc,
-                                     soc_shift is not None,
-                                     storage_dtype, dt, cached=True))
         if split_mode:
-            W = max(W, pa.split_width(Bb, nx, nu, nc,
-                                      soc_shift is not None,
-                                      storage_dtype, dt))
+            # EXACTLY the split kernels' chunk: a wider W would make
+            # the per-iteration _shared_slice of the carry-dependent
+            # factor streams a real copy (~180 MB/iter at N=512)
+            # rather than a no-op.
+            W = pa.split_width(Bb, nx, nu, nc, soc_shift is not None,
+                               storage_dtype, dt)
+        else:
+            W = pa.admm_chunk(Bb, N, nx, nu, nc, soc_shift is not None,
+                              storage_dtype, dt)
+            if settings.cached_factors:
+                W = max(W, pa.admm_chunk(Bb, N, nx, nu, nc,
+                                         soc_shift is not None,
+                                         storage_dtype, dt,
+                                         cached=True))
         rep = lambda x: jnp.broadcast_to(x[..., None], x.shape + (W,))
         bcB = lambda x: jnp.broadcast_to(x[..., None], x.shape + (Bb,))
         mask1 = _con_mask(problem, cones).astype(dt)  # (N+1, nc)
@@ -575,7 +597,7 @@ def solve_fused(
         HN_l = bcB(problem.H[-1, nu:, nu:] + sigma * jnp.eye(nx, dtype=dt))
         DN_l = bcB(problem.D[-1, :, nu:])             # (nc, nx, B)
         DallN = bcB(problem.D[-1])                    # (nc, nz, B)
-        if settings.cached_factors:
+        if settings.cached_factors or ladder:
             # W-wide terminal shares for the shared factor build.
             HN_W = rep(problem.H[-1, nu:, nu:]
                        + sigma * jnp.eye(nx, dtype=dt))
@@ -681,7 +703,12 @@ def solve_fused(
     H_k, h_k, D_k = _st(H_l), _st(h_stream), _st(Dst_l)
     Wst = A_k.shape[-1]          # stream lane width (W shared, B else)
 
-    if shared_mode and settings.cached_factors:
+    # Split-mode bf16 serving: the pinned factor streams (P, L, K, M)
+    # ride the storage dtype too (the split kernels upcast at load) —
+    # the same consistent-perturbation contract as the bf16 stage
+    # streams.
+    fac_dt = storage_dtype if (split_mode and storage_dtype) else dt
+    if shared_mode and (settings.cached_factors or ladder):
         def _build_shared_factors(rho_op):
             """Matrix sweep + factor export on the W-wide pinned chunk
             (batch-uniform rho enforced above): the cached (P, L, K, M)
@@ -700,7 +727,20 @@ def solve_fused(
                 PN_W, jnp.zeros((nx, W), dt),
                 interpret=interpret, export_factors=True,
             )
-            return (K, M, P, L, rho_op)
+            return (K.astype(fac_dt), M.astype(fac_dt),
+                    P.astype(fac_dt), L.astype(fac_dt), rho_op)
+
+    ladder_fac = None
+    if ladder:
+        # R rungs' factors stacked on rows — built ONCE per solve
+        # (loop-invariant: no refactor cond, no factor carry), selected
+        # per lane in-kernel via one-hot folds.
+        parts = [_build_shared_factors(jnp.full((Bb,), r, dt))
+                 for r in ladder]
+        ladder_fac = tuple(
+            jnp.concatenate([p[j] for p in parts], axis=1)
+            for j in range(4)
+        )                                     # (K, M, P, L) stacked
 
     def _finish_stats(rho, stats,
                       r_prim, r_dual, prim_scale, dual_scale):
@@ -724,19 +764,30 @@ def solve_fused(
                 jnp.maximum(rp_rel, tiny) / jnp.maximum(rd_rel, tiny)
             )
             upd = ((ratio > 5.0) | (ratio < 0.2)) & (k_next % interval == 0)
-            rho = jnp.where(
-                upd,
-                jnp.clip(rho * ratio, settings.rho_min, settings.rho_max),
-                rho,
-            )
+            target = jnp.clip(rho * ratio, settings.rho_min,
+                              settings.rho_max)
+            if ladder:
+                # Snap to the nearest rung in log space: per-instance
+                # adaptation on the static grid the factors were built
+                # at (OperatorLadder's rule, batched).
+                rungs_l = jnp.asarray(ladder, dt)
+                idx = jnp.argmin(
+                    jnp.abs(jnp.log(rungs_l)[:, None]
+                            - jnp.log(target)[None, :]), axis=0)
+                target = rungs_l[idx]
+            rho = jnp.where(upd, target, rho)
         stats = (k_next, iter_conv, r_prim, r_dual, conv)
         return rho, stats
 
     def _terminal_tail(wN, zN, yN, rho, stats, fac,
-                       w_st, z_st, y_st, xN, res):
+                       stage_new, xN, res):
         """Terminal stage (no control): relax/project/dual + residual
         merge + convergence/adaptive-rho — shared by the single-kernel
         and split iterations (their kernels cover stages 0..N-1).
+
+        ``stage_new`` is the iteration's stage-row output leaves (the
+        kernel outputs, format per body); the assembled carry is
+        stage_new + (w_newN, z_newN, y_newN, rho, stats) + fac.
 
         The terminal rows (wN, zN, yN) live as SEPARATE carry leaves:
         slicing w[:-1] for the kernels and concatenating the terminal
@@ -794,14 +845,14 @@ def solve_fused(
 
         rho_n, stats_n = _finish_stats(rho, stats, r_prim, r_dual,
                                        prim_scale, dual_scale)
-        return (w_st, w_newN, z_st, z_newN, y_st, y_newN,
-                rho_n, stats_n) + tuple(fac), None
+        return tuple(stage_new) + (w_newN, z_newN, y_newN,
+                                   rho_n, stats_n) + tuple(fac), None
 
     def iteration_1k(carry, _):
         """Whole iteration as ONE pallas_call (ops/pallas_admm)."""
         from pdp_lqr_tpu.ops import pallas_admm as pa
 
-        w, wN, z, zN, y, yN, rho, stats, *fac = carry
+        w, z, y, wN, zN, yN, rho, stats, *fac = carry
         rho_row = rho[None, :]                       # (1, B)
 
         # Terminal fold in XLA (tiny); zero-D rows contribute nothing,
@@ -859,16 +910,18 @@ def solve_fused(
         )
 
         return _terminal_tail(wN, zN, yN, rho, stats, fac,
-                              w_st, z_st, y_st, xN, res)
+                              (w_st, z_st, y_st), xN, res)
 
     def iteration_split(carry, _):
         """Shared two-kernel iteration: the chunk-interleaved
         (backward-vector, forward+tail) pallas pair with pinned
         model/factor streams (ops/pallas_admm split kernels) — the
-        long-horizon shared serving path."""
+        long-horizon shared serving path.  Stage iterates ride ONE
+        packed (N, nz+2nc, B) carry array [w | z | y] so each kernel
+        issues a single per-scenario iterate window per grid step."""
         from pdp_lqr_tpu.ops import pallas_admm as pa
 
-        w, wN, z, zN, y, yN, rho, stats, *fac = carry
+        wzy, wN, zN, yN, rho, stats, *fac = carry
         rho_row = rho[None, :]                       # (1, B)
 
         # Terminal linear fold (per-scenario vector, XLA — tiny).
@@ -877,31 +930,41 @@ def solve_fused(
             rho_cN = rho * scaleN[ci]
             pN = pN - (rho_cN * zN[ci] - yN[ci])[None, :] * DN_l[ci]
 
-        K_f, M_f, P_f, L_f, rho_f = fac[0]
-        refactor = jnp.any(rho != rho_f)
-        fac_new = jax.lax.cond(
-            refactor, _build_shared_factors,
-            lambda _: (K_f, M_f, P_f, L_f, rho_f), rho,
-        )
-        fac = [fac_new]
-        K_c, M_c, P_c, L_c, _ = fac_new
+        oh = None
+        if ladder:
+            # Loop-invariant R-rung factor stack + per-lane one-hot
+            # selectors (rho always holds exact rung values).
+            K_c, M_c, P_c, L_c = ladder_fac
+            oh = jnp.stack(
+                [(rho == jnp.asarray(r, dt)).astype(dt) for r in ladder],
+                axis=0,
+            )
+        else:
+            K_f, M_f, P_f, L_f, rho_f = fac[0]
+            refactor = jnp.any(rho != rho_f)
+            fac_new = jax.lax.cond(
+                refactor, _build_shared_factors,
+                lambda _: (K_f, M_f, P_f, L_f, rho_f), rho,
+            )
+            fac = [fac_new]
+            K_c, M_c, P_c, L_c, _ = fac_new
 
-        d_l, v_l = pa.admm_bwd_vec_lanes(
+        dv_l = pa.admm_bwd_vec_lanes(
             rho_row, pN, A_k, B_k, h_k, D_k, mask_st, P_c, L_c, K_c,
-            c_k, w, z, y,
-            nu=nu, sigma=sigma, interpret=interpret,
+            c_k, wzy,
+            nu=nu, sigma=sigma, ladder_oh=oh, interpret=interpret,
         )
         shift_st = None
         if shift_l is not None:
             shift_st = jnp.broadcast_to(shift_l[:-1], (N, nc, Wst))
-        w_st, z_st, y_st, xN, res = pa.admm_fwd_update_lanes(
+        wzy_new, xN, res = pa.admm_fwd_update_lanes(
             rho_row, x0_l, M_c, K_c, H_k, D_k, lb_st, ub_st, mask_st,
-            shift_st, v_l, d_l, w, z, y,
+            shift_st, dv_l, wzy,
             nu=nu, cones=cones3, alpha=alpha, sigma=sigma,
-            interpret=interpret,
+            ladder_oh=oh, interpret=interpret,
         )
         return _terminal_tail(wN, zN, yN, rho, stats, fac,
-                              w_st, z_st, y_st, xN, res)
+                              (wzy_new,), xN, res)
 
     if residual_weights is not None:
         pwt_l = residual_weights[0][..., None]   # (N+1, nc, 1)
@@ -1048,7 +1111,15 @@ def solve_fused(
         jnp.zeros((Bb,), bool),
     )
     rho0 = jnp.broadcast_to(jnp.asarray(state.rho, dt), (Bb,))
-    if shared_mode and settings.cached_factors:
+    if ladder:
+        # Snap warm/initial rho onto the rung grid (per-instance).
+        rungs_l = jnp.asarray(ladder, dt)
+        idx0 = jnp.argmin(
+            jnp.abs(jnp.log(rungs_l)[:, None]
+                    - jnp.log(jnp.maximum(rho0, 1e-30))[None, :]),
+            axis=0)
+        rho0 = rungs_l[idx0]
+    elif shared_mode and settings.cached_factors:
         # The shared factor build reads rho[0] and the max-based
         # adaptation only PRESERVES uniformity — a warm-start state
         # carrying per-instance rho (e.g. from a prior per-instance
@@ -1058,22 +1129,30 @@ def solve_fused(
         rho0 = jnp.broadcast_to(jnp.max(rho0), (Bb,))
     # The fused-kernel bodies carry the terminal row as separate leaves
     # (see _terminal_tail): the per-iteration w[:-1] slices and
-    # terminal concatenations cost ~6 full-trajectory HBM copies.
-    split_carry = single_kernel or split_mode
+    # terminal concatenations cost ~6 full-trajectory HBM copies.  The
+    # split body additionally packs the stage iterates into ONE
+    # (N, nz+2nc, B) array (one DMA window per kernel per grid step).
     w_l, z_l, y_l = l3(state.w), l3(state.z), l3(state.y)
-    if split_carry:
-        carry0 = (w_l[:-1], w_l[-1], z_l[:-1], z_l[-1],
-                  y_l[:-1], y_l[-1], rho0, stats0)
+    if split_mode:
+        wzy0 = jnp.concatenate([w_l[:-1], z_l[:-1], y_l[:-1]], axis=1)
+        carry0 = (wzy0, w_l[-1], z_l[-1], y_l[-1], rho0, stats0)
+        stats_idx = 5
+    elif single_kernel:
+        carry0 = (w_l[:-1], z_l[:-1], y_l[:-1],
+                  w_l[-1], z_l[-1], y_l[-1], rho0, stats0)
         stats_idx = 7
     else:
         carry0 = (w_l, z_l, y_l, rho0, stats0)
         stats_idx = 4
-    if settings.cached_factors:
+    if settings.cached_factors and not ladder:
         if state.factors is not None:
-            fac0 = state.factors
+            K0, M0, P0, L0, r0 = state.factors
+            fac0 = (K0.astype(fac_dt), M0.astype(fac_dt),
+                    P0.astype(fac_dt), L0.astype(fac_dt), r0)
         else:
             Wf = W if shared_mode else Bb   # factor lane width
-            zf = lambda *dims: jnp.zeros(dims + (Wf,), dt)
+            zdt = fac_dt if shared_mode else dt
+            zf = lambda *dims: jnp.zeros(dims + (Wf,), zdt)
             fac0 = (zf(N, nu, nx), zf(N, nx, nx), zf(N, nx, nx),
                     zf(N, nu, nu), jnp.full((Bb,), -1.0, dt))
         carry0 = carry0 + (fac0,)
@@ -1092,8 +1171,13 @@ def solve_fused(
         out_carry, _ = jax.lax.scan(
             body, carry0, None, length=settings.max_iter,
         )
-    if split_carry:
-        (w_s, wN, z_s, zN, y_s, yN, rho, stats, *fac_out) = out_carry
+    if split_mode:
+        (wzy, wN, zN, yN, rho, stats, *fac_out) = out_carry
+        w = jnp.concatenate([wzy[:, :nz], wN[None]], axis=0)
+        z = jnp.concatenate([wzy[:, nz:nz + nc], zN[None]], axis=0)
+        y = jnp.concatenate([wzy[:, nz + nc:], yN[None]], axis=0)
+    elif single_kernel:
+        (w_s, z_s, y_s, wN, zN, yN, rho, stats, *fac_out) = out_carry
         w = jnp.concatenate([w_s, wN[None]], axis=0)
         z = jnp.concatenate([z_s, zN[None]], axis=0)
         y = jnp.concatenate([y_s, yN[None]], axis=0)

@@ -637,6 +637,22 @@ def solve_batch(
     return w, st, info
 
 
+def cast_operator(op, dtype):
+    """Narrow the materialized map's storage (bf16 serving mode).
+
+    The replan iteration is HBM-bound on streaming the operator blocks
+    (U/E_x/E_p for the condensed form, T for the dense form); bf16
+    storage halves that stream.  The inner solve becomes a CONSISTENT
+    perturbed linear map (~1e-3 relative — the iteration still
+    contracts, the fixed point moves O(1e-3)); use at MPC serving
+    tolerances, not for tight-eps solves.  rho (scalar) stays exact.
+    """
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if getattr(x, "ndim", 0) >= 2 else x,
+        op,
+    )
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class OperatorLadder:

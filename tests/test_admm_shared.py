@@ -96,7 +96,9 @@ def test_shared_rejects_cached_and_two_kernel():
             sp, x0, (),
             dataclasses.replace(SETTINGS, cached_factors=True),
             interpret=True, single_kernel=True)
-    with pytest.raises(ValueError, match="single-kernel"):
+    # Shared two-kernel mode is the SPLIT iteration (r5): valid only
+    # with cached factors (pinned (P, L, K) streams).
+    with pytest.raises(ValueError, match="cached_factors"):
         admm.solve_fused(sp, x0, (), SETTINGS, interpret=True,
                          single_kernel=False)
 

@@ -76,9 +76,10 @@ def test_split_requires_cached_factors():
 
 def test_split_early_exit_and_warm_start():
     p, cones, x0, shift = _setup()
-    st = admm.ADMMSettings(max_iter=60, rho=0.1, adaptive_rho=False,
-                           cached_factors=True, uniform_rho=True,
-                           early_exit=True, eps_abs=1e-6, eps_rel=1e-6)
+    st = admm.ADMMSettings(max_iter=150, rho=0.1, adaptive_rho=True,
+                           rho_update_interval=25, uniform_rho=True,
+                           cached_factors=True,
+                           early_exit=True, eps_abs=1e-4, eps_rel=1e-4)
     ws, state, info = admm.solve_fused(p, x0, cones, st, soc_shift=shift,
                                        interpret=True,
                                        single_kernel=False)
@@ -88,6 +89,70 @@ def test_split_early_exit_and_warm_start():
                                    soc_shift=shift, interpret=True,
                                    single_kernel=False)
     assert int(jnp.max(info2.iterations)) <= 3
+
+
+def test_rho_ladder_single_rung_matches_uniform():
+    p, cones, x0, shift = _setup()
+    st0 = admm.ADMMSettings(max_iter=8, rho=0.1, adaptive_rho=False)
+    ws_l1, _, _ = admm.solve_fused(
+        p, x0, cones, dataclasses.replace(st0, rho_ladder=(0.1,)),
+        soc_shift=shift, interpret=True, single_kernel=False)
+    ws_u, _, _ = admm.solve_fused(
+        p, x0, cones,
+        dataclasses.replace(st0, cached_factors=True, uniform_rho=True),
+        soc_shift=shift, interpret=True, single_kernel=False)
+    np.testing.assert_allclose(np.asarray(ws_l1), np.asarray(ws_u),
+                               atol=1e-12)
+
+
+def test_rho_ladder_per_instance_matches_replicated():
+    """Each instance on its own rung == the replicated per-instance-rho
+    two-kernel loop (the ladder's whole point: per-instance rho with
+    batch-shared factor streams)."""
+    p, cones, x0, shift = _setup()
+    B = x0.shape[0]
+    rungs = (0.05, 0.1, 0.5)
+    rho_pi = jnp.asarray([rungs[b % 3] for b in range(B)],
+                         p.H.dtype)
+    state = admm.ADMMState(
+        w=jnp.zeros((B, p.N + 1, p.nz), p.H.dtype),
+        z=jnp.zeros((B, p.N + 1, p.nc), p.H.dtype),
+        y=jnp.zeros((B, p.N + 1, p.nc), p.H.dtype),
+        rho=rho_pi)
+    st0 = admm.ADMMSettings(max_iter=8, adaptive_rho=False)
+    ws_l, st_out, _ = admm.solve_fused(
+        p, x0, cones, dataclasses.replace(st0, rho_ladder=rungs),
+        state=state, soc_shift=shift, interpret=True,
+        single_kernel=False)
+    bp = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), p)
+    ws_r, _, _ = admm.solve_fused(bp, x0, cones, st0, state=state,
+                                  soc_shift=shift, interpret=True,
+                                  single_kernel=False)
+    np.testing.assert_allclose(np.asarray(ws_l), np.asarray(ws_r),
+                               atol=1e-9)
+    # Adaptive ladder keeps every instance on a rung.
+    st_a = dataclasses.replace(st0, rho_ladder=rungs,
+                               adaptive_rho=True, rho_update_interval=3)
+    _, st_out, _ = admm.solve_fused(p, x0, cones, st_a, state=state,
+                                    soc_shift=shift, interpret=True,
+                                    single_kernel=False)
+    ro = np.asarray(st_out.rho)
+    assert all(any(abs(r - g) < 1e-12 for g in rungs) for r in ro)
+
+
+def test_rho_ladder_rejects_bad_configs():
+    p, cones, x0, shift = _setup()
+    with pytest.raises(ValueError, match="one, not both"):
+        admm.solve_fused(
+            p, x0, cones,
+            admm.ADMMSettings(rho_ladder=(0.1,), uniform_rho=True),
+            soc_shift=shift, interpret=True, single_kernel=False)
+    B = x0.shape[0]
+    bp = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), p)
+    with pytest.raises(ValueError, match="shared split"):
+        admm.solve_fused(
+            bp, x0, cones, admm.ADMMSettings(rho_ladder=(0.1,)),
+            soc_shift=shift, interpret=True, single_kernel=False)
 
 
 def test_interleaved_vector_sweep_parity():
