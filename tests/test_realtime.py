@@ -249,3 +249,26 @@ def test_batch_operator_matches_fused():
     np.testing.assert_allclose(
         np.asarray(info_op.r_prim), np.asarray(info_f.r_prim),
         rtol=1e-6, atol=1e-12)
+
+
+def test_cast_operator_bf16_serving():
+    """bf16-storage operator: consistent ~1e-3 perturbation — the
+    replan still converges and tracks the f32 solution at serving
+    tolerance (the HBM-halving mode for long-horizon 1 kHz replans)."""
+    problem, settings = _setup(N=16)
+    import dataclasses
+
+    settings = dataclasses.replace(settings, eps_abs=1e-3, eps_rel=1e-3,
+                                   max_iter=200, rho=1.0)
+    op = realtime.build_operator(problem, rho=1.0, settings=settings)
+    op16 = realtime.cast_operator(op, jnp.bfloat16)
+    assert op16.T.dtype == jnp.bfloat16
+    assert op16.rho.dtype == op.rho.dtype          # scalars stay exact
+    x0 = jnp.full((problem.nx,), 0.02, problem.H.dtype)
+    ws32, _, info32 = realtime.solve(problem, x0, op, (), settings)
+    ws16, _, info16 = realtime.solve(problem, x0, op16, (), settings)
+    assert bool(info16.converged)
+    scale = float(jnp.max(jnp.abs(ws32))) + 1e-9
+    rel = float(jnp.max(jnp.abs(ws16.astype(jnp.float64)
+                                - ws32.astype(jnp.float64)))) / scale
+    assert rel < 2e-2, rel
