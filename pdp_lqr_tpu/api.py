@@ -284,20 +284,31 @@ class ScenarioServer:
         return self._solve(m, self._it, jnp.asarray(x0s))
 
     def solve_admm(self, x0s, cones=(), settings=None, state=None,
-                   soc_shift=None, c=None):
+                   soc_shift=None, c=None, split: bool | None = None):
         """Full conic ADMM over the scenario batch (solve_fused in
-        shared mode: single-kernel iteration, pinned problem streams).
-        Returns (ws, state, info) — ``state`` warm-starts the next
-        tick."""
+        shared mode, pinned problem streams).  Returns
+        (ws, state, info) — ``state`` warm-starts the next tick.
+
+        ``split`` selects the iteration: True = the split kernel pair
+        (the long-horizon serving path; requires cached_factors or a
+        rho_ladder in ``settings``), False = the single-kernel fused
+        iteration, None (default) = split whenever the settings allow
+        it (cached_factors+uniform_rho or rho_ladder) — the
+        measured-faster choice at every benched horizon (N=64: 136.8k
+        vs 97.1k; N=512: 16.9k vs 8.5k solves/s)."""
         import dataclasses as _dc
 
         from pdp_lqr_tpu.solvers import admm as _admm
 
         if settings is None:
             settings = _admm.ADMMSettings()
+        if split is None:
+            split = bool(settings.rho_ladder) or (
+                settings.cached_factors and settings.uniform_rho)
         m = self.model if c is None else _dc.replace(
             self.model, c=jnp.asarray(c, self.model.c.dtype))
         return _admm.solve_fused(
             m, jnp.asarray(x0s), tuple(cones or ()), settings,
             state=state, soc_shift=soc_shift, interpret=self.interpret,
+            single_kernel=not split,
         )

@@ -398,15 +398,26 @@ def _rung_select(full, rows, sel):
     return out
 
 
-def _admm_bwd_vec_kernel_il(nu, nx, nc, T, chunk, sigma, R,
+def _admm_bwd_vec_kernel_il(nu, nx, nc, T, chunk, sigma, R, pc_mode,
                             rho_ref, *refs):
     if R > 1:
         oh_ref, *refs = refs
-    (pN_ref,
-     A_ref, B_ref, h_ref, D_ref, m_ref,
-     P_ref, L_ref, K_ref,
-     c_ref, wzy_ref,
-     dv_ref, p_scr) = refs
+    if pc_mode:
+        # P enters the recursion ONLY as P c (both iterate-independent):
+        # the caller pre-folds Pc per scenario, dropping the biggest
+        # pinned stream AND the biggest in-kernel matvec.
+        (pN_ref,
+         A_ref, B_ref, h_ref, D_ref, m_ref,
+         L_ref, K_ref,
+         c_ref, Pc_ref, wzy_ref,
+         dv_ref, p_scr) = refs
+        P_ref = None
+    else:
+        (pN_ref,
+         A_ref, B_ref, h_ref, D_ref, m_ref,
+         P_ref, L_ref, K_ref,
+         c_ref, wzy_ref,
+         dv_ref, p_scr) = refs
     # rho/pN are UNBLOCKED full-VMEM residents (tiny, fetched once per
     # kernel launch): blocked (0,...,b) windows would re-issue a DMA on
     # every minor grid step — thousands of issues for KBs of data.
@@ -444,17 +455,17 @@ def _admm_bwd_vec_kernel_il(nu, nx, nc, T, chunk, sigma, R,
             # stacked on rows; each lane folds its own rung's factors
             # (per-instance adaptive rho without per-instance factor
             # streams in HBM).
-            P = _rung_select(P_ref[i].astype(cdt), nx, sel)
             K = _rung_select(K_ref[i].astype(cdt), nu, sel)
             Lt = _rung_select(L_ref[i].astype(cdt), nu, sel)
+            P = _rung_select(P_ref[i].astype(cdt), nx, sel)
         else:
-            P = P_ref[i].astype(cdt)
             K = K_ref[i].astype(cdt)
             Lt = L_ref[i].astype(cdt)
+            P = None if pc_mode else P_ref[i].astype(cdt)
         L = [[Lt[li, lj] if lj <= li else None for lj in range(nu)]
              for li in range(nu)]
 
-        Pcp = _mv(P, c) + p
+        Pcp = (Pc_ref[i] if pc_mode else _mv(P, c)) + p
         rbar = h[:nu] + _mtv(Bm, Pcp)
         d = -jnp.stack(
             _chol_solve_lanes(L, [rbar[ri] for ri in range(nu)]), axis=0
@@ -607,7 +618,8 @@ def split_width(Bt, nx, nu, nc, has_shift=False, storage_dtype=None,
 
 
 def admm_bwd_vec_lanes(rho, pN, A, B, h, D, mask, P, L, K, c, wzy,
-                       *, nu, sigma, ladder_oh=None, interpret=False):
+                       *, nu, sigma, ladder_oh=None, Pc=None,
+                       interpret=False):
     """Split-iteration kernel A: in-kernel iterate fold + cached vector
     sweep, chunk-interleaved, shared-stage streams pinned.
 
@@ -624,24 +636,35 @@ def admm_bwd_vec_lanes(rho, pN, A, B, h, D, mask, P, L, K, c, wzy,
     rho-LADDER mode: the factor streams carry R rungs stacked on rows
     (P (N, R*nx, nx, W) etc.) and each lane folds its own rung's
     factors — per-instance adaptive rho on a static rung grid with the
-    pinned-stream economics intact."""
+    pinned-stream economics intact.
+
+    ``Pc`` ((N, nx, B) per-scenario, = P_{k+1} c_k) replaces the P
+    stream entirely (non-ladder only): P enters the recursion only as
+    P c, both iterate-independent, so the caller pre-folds it — one
+    fewer pinned stream and the kernel's biggest matvec gone."""
     N, nx = A.shape[0], A.shape[1]
     Bt = wzy.shape[-1]
     nc = D.shape[1]
     nz = nx + nu
     dt = wzy.dtype
-    R = P.shape[1] // nx
+    pc_mode = Pc is not None
+    R = 1 if pc_mode else P.shape[1] // nx
+    if pc_mode and ladder_oh is not None:
+        raise ValueError("Pc mode is non-ladder only")
     c_item = jnp.dtype(dt).itemsize
     sw = jnp.dtype(A.dtype).itemsize / c_item
     words, _ = _split_words(nx, nu, nc, False, sw)
     words += (R - 1) * (nx * nx + nu * nu + nu * nx)   # extra rungs
+    if pc_mode:
+        words += nx - nx * nx                          # Pc in, P out
     chunk = _pick_chunk(Bt, int(words) + 1, 24 * nz * nz, c_item)
     A = _shared_slice("A", A, chunk)
     B = _shared_slice("B", B, chunk)
     h = _shared_slice("h", h, chunk)
     D = _shared_slice("D", D, chunk)
     mask = _shared_slice("mask", mask, chunk)
-    P = _shared_slice("P", P, chunk)
+    if not pc_mode:
+        P = _shared_slice("P", P, chunk)
     L = _shared_slice("L", L, chunk)
     K = _shared_slice("K", K, chunk)
     n_chunks = Bt // chunk
@@ -659,7 +682,7 @@ def admm_bwd_vec_lanes(rho, pN, A, B, h, D, mask, P, L, K, c, wzy,
         memory_space=pltpu.VMEM,
     )
     kernel = functools.partial(_admm_bwd_vec_kernel_il, nu, nx, nc, T,
-                               chunk, sigma, R)
+                               chunk, sigma, R, pc_mode)
     resident = pl.BlockSpec(memory_space=pltpu.VMEM)   # tiny, once
     in_specs = [resident]
     args = [rho]
@@ -670,11 +693,19 @@ def admm_bwd_vec_lanes(rho, pN, A, B, h, D, mask, P, L, K, c, wzy,
         resident,
         stage_sh(nx, nx, Bt), stage_sh(nx, nu, Bt),
         stage_sh(nz, Bt), stage_sh(nc, nz, Bt), stage_sh(nc, Bt),
-        stage_sh(R * nx, nx, Bt), stage_sh(R * nu, nu, Bt),
-        stage_sh(R * nu, nx, Bt),
-        stage(nx, Bt), stage(nz + 2 * nc, Bt),
     ]
-    args += [pN, A, B, h, D, mask, P, L, K, c, wzy]
+    args += [pN, A, B, h, D, mask]
+    if not pc_mode:
+        in_specs.append(stage_sh(R * nx, nx, Bt))
+        args.append(P)
+    in_specs += [stage_sh(R * nu, nu, Bt), stage_sh(R * nu, nx, Bt),
+                 stage(nx, Bt)]
+    args += [L, K, c]
+    if pc_mode:
+        in_specs.append(stage(nx, Bt))
+        args.append(Pc)
+    in_specs.append(stage(nz + 2 * nc, Bt))
+    args.append(wzy)
     return pl.pallas_call(
         kernel,
         grid=(NT, n_chunks),

@@ -876,7 +876,7 @@ def backward_lanes(A, B, c, H, h, D, rho, rg, PN, pN, *, interpret=False,
 
 # ------------------------------------------- cached-factor vector sweep
 
-def _backward_vec_kernel(nu, nx, T,
+def _backward_vec_kernel(nu, nx, T, pc_mode,
                          A_ref, B_ref, c_ref, hf_ref, P_ref, K_ref,
                          L_ref, pN_ref,
                          d_ref, v_ref, p_scr):
@@ -915,13 +915,12 @@ def _backward_vec_kernel(nu, nx, T,
         Bm = B_ref[i].astype(cdt)
         c = c_ref[i].astype(cdt)
         hf = hf_ref[i].astype(cdt)
-        P = P_ref[i]
         K = K_ref[i]
         Lt = L_ref[i]
         L = [[Lt[li, lj] if lj <= li else None for lj in range(nu)]
              for li in range(nu)]
 
-        Pcp = _mv(P, c) + p
+        Pcp = (P_ref[i] if pc_mode else _mv(P_ref[i], c)) + p
         rbar = hf[:nu] + _mtv(Bm, Pcp)
         d = -jnp.stack(
             _chol_solve_lanes(L, [rbar[ri] for ri in range(nu)]), axis=0
@@ -932,7 +931,7 @@ def _backward_vec_kernel(nu, nx, T,
     p_scr[:] = p
 
 
-def _backward_vec_kernel_il(nu, nx, T, chunk,
+def _backward_vec_kernel_il(nu, nx, T, chunk, pc_mode,
                             A_ref, B_ref, c_ref, hf_ref, P_ref, K_ref,
                             L_ref, pN_ref,
                             d_ref, v_ref, p_scr):
@@ -943,7 +942,12 @@ def _backward_vec_kernel_il(nu, nx, T, chunk,
     only) the pipeline emitter skips their re-fetch across the
     n_chunks minor steps — the matrix streams cross HBM once per
     TIME step instead of once per batch chunk (measured 1.4x on the
-    shared forward; the same elision applies here)."""
+    shared forward; the same elision applies here).
+
+    ``pc_mode``: P_ref carries the PRE-FOLDED per-scenario Pc =
+    P_{k+1} c_k instead of the (shared) P matrices — P enters the
+    recursion only as P c, both iterate-independent, so folding it
+    once per solve drops the biggest matrix stream and matvec."""
     t = pl.program_id(0)
     ch = pl.program_id(1)
     sl = pl.ds(ch * chunk, chunk)
@@ -959,13 +963,12 @@ def _backward_vec_kernel_il(nu, nx, T, chunk,
         Bm = B_ref[i].astype(cdt)
         c = c_ref[i].astype(cdt)
         hf = hf_ref[i].astype(cdt)
-        P = P_ref[i]
         K = K_ref[i]
         Lt = L_ref[i]
         L = [[Lt[li, lj] if lj <= li else None for lj in range(nu)]
              for li in range(nu)]
 
-        Pcp = _mv(P, c) + p
+        Pcp = (P_ref[i] if pc_mode else _mv(P_ref[i], c)) + p
         rbar = hf[:nu] + _mtv(Bm, Pcp)
         d = -jnp.stack(
             _chol_solve_lanes(L, [rbar[ri] for ri in range(nu)]), axis=0
@@ -1018,7 +1021,7 @@ def _shared_slice(name, x, chunk):
 
 
 def backward_vectors_lanes(A, B, c, hf, P, K, L, pN, *, interpret=False,
-                           shared=False, interleave=False):
+                           shared=False, interleave=False, Pc=None):
     """Cached-factor vector sweep; returns (d, v) for forward_lanes.
 
     A (N,nx,nx,B), B (N,nx,nu,B), c (N,nx,B), hf (N,nz,B) the fully
@@ -1047,14 +1050,20 @@ def backward_vectors_lanes(A, B, c, hf, P, K, L, pN, *, interpret=False,
     nu = B.shape[2]
     Bt = c.shape[-1]
     nz = nx + nu
+    pc_mode = Pc is not None
+    if pc_mode:
+        P = Pc          # per-scenario (N, nx, B) pre-folded P c
     dt = P.dtype
 
     words = _vec_sweep_words(nx, nu, nz)
+    if pc_mode:
+        words += nx - nx * nx          # Pc stream in, P stream out
     chunk = _pick_chunk(Bt, words, 8 * nx * nx, jnp.dtype(dt).itemsize)
     if shared:
         A = _shared_slice("A", A, chunk)
         B = _shared_slice("B", B, chunk)
-        P = _shared_slice("P", P, chunk)
+        if not pc_mode:
+            P = _shared_slice("P", P, chunk)
         K = _shared_slice("K", K, chunk)
         L = _shared_slice("L", L, chunk)
     n_chunks = Bt // chunk
@@ -1082,7 +1091,7 @@ def backward_vectors_lanes(A, B, c, hf, P, K, L, pN, *, interpret=False,
             memory_space=pltpu.VMEM,
         )
         kernel = functools.partial(_backward_vec_kernel_il, nu, nx, T,
-                                   chunk)
+                                   chunk, pc_mode)
         grid = (N // T, n_chunks)
         scratch = [pltpu.VMEM((nx, Bt), dt)]
     else:
@@ -1102,7 +1111,8 @@ def backward_vectors_lanes(A, B, c, hf, P, K, L, pN, *, interpret=False,
             lambda b, t: (0,) * (len(dims) - 1) + (b,),
             memory_space=pltpu.VMEM,
         )
-        kernel = functools.partial(_backward_vec_kernel, nu, nx, T)
+        kernel = functools.partial(_backward_vec_kernel, nu, nx, T,
+                                   pc_mode)
         grid = (n_chunks, N // T)
         scratch = [pltpu.VMEM((nx, chunk), dt)]
 
@@ -1112,7 +1122,8 @@ def backward_vectors_lanes(A, B, c, hf, P, K, L, pN, *, interpret=False,
         in_specs=[
             stage_sh(nx, nx, Bt), stage_sh(nx, nu, Bt), stage(nx, Bt),
             stage(nz, Bt),
-            stage_sh(nx, nx, Bt), stage_sh(nu, nx, Bt),
+            stage(nx, Bt) if pc_mode else stage_sh(nx, nx, Bt),
+            stage_sh(nu, nx, Bt),
             stage_sh(nu, nu, Bt),
             whole(nx, Bt),
         ],
@@ -1832,9 +1843,13 @@ def solve_shared_prepared(prep, *, interpret=False):
     # Chunk-minor interleaving: the pinned matrix streams cross HBM
     # once per time step instead of once per batch chunk (DMA elision
     # on the unchanged lane-block index; measured 1.4x on the forward).
+    # Pc = P_{k+1} c_k pre-folded once per solve (P appears in the
+    # vector recursion only through this product).
+    Pc = jnp.einsum("kij,kjb->kib", P[..., 0], c_l,
+                    precision=jax.lax.Precision.HIGHEST)
     d, v = backward_vectors_lanes(
         A_sh, B_sh, c_l, hf_l, P, K, L, pN_l,
-        interpret=interpret, shared=True, interleave=True,
+        interpret=interpret, shared=True, interleave=True, Pc=Pc,
     )
     ws, xN = forward_lanes(M, v, K, d, x0_l, interpret=interpret,
                            shared=True, interleave=True)
@@ -1889,9 +1904,11 @@ def solve_shared_cached(prep, factors, *, interpret=False):
     (A_sh, B_sh, _H, _D, _rho, _PN,
      c_l, hf_l, pN_l, x0_l, nu) = prep
     K, M, P, L = factors
+    Pc = jnp.einsum("kij,kjb->kib", P[..., 0], c_l,
+                    precision=jax.lax.Precision.HIGHEST)
     d, v = backward_vectors_lanes(
         A_sh, B_sh, c_l, hf_l, P, K, L, pN_l,
-        interpret=interpret, shared=True, interleave=True,
+        interpret=interpret, shared=True, interleave=True, Pc=Pc,
     )
     ws, xN = forward_lanes(M, v, K, d, x0_l, interpret=interpret,
                            shared=True, interleave=True)

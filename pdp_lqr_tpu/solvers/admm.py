@@ -730,6 +730,19 @@ def solve_fused(
             return (K.astype(fac_dt), M.astype(fac_dt),
                     P.astype(fac_dt), L.astype(fac_dt), rho_op)
 
+    if split_mode and not ladder:
+        def _build_split_factors(rho_op):
+            """Factor build + the per-scenario Pc = P_{k+1} c fold —
+            computed ONLY on refactor iterations (P enters the vector
+            recursion only through this product; folding it per
+            iteration in XLA was measured to cost more than the
+            kernel's P-stream saving)."""
+            K, M, P, L, r = _build_shared_factors(rho_op)
+            Pc = jnp.einsum("kij,kjb->kib",
+                            P[..., 0].astype(dt), c_l,
+                            precision=jax.lax.Precision.HIGHEST)
+            return (K, M, Pc, L, r)
+
     ladder_fac = None
     if ladder:
         # R rungs' factors stacked on rows — built ONCE per solve
@@ -931,6 +944,7 @@ def solve_fused(
             pN = pN - (rho_cN * zN[ci] - yN[ci])[None, :] * DN_l[ci]
 
         oh = None
+        Pc = None
         if ladder:
             # Loop-invariant R-rung factor stack + per-lane one-hot
             # selectors (rho always holds exact rung values).
@@ -940,19 +954,23 @@ def solve_fused(
                 axis=0,
             )
         else:
-            K_f, M_f, P_f, L_f, rho_f = fac[0]
+            # fac slot 2 carries Pc (N, nx, B), not P: see
+            # _build_split_factors.
+            K_f, M_f, Pc_f, L_f, rho_f = fac[0]
             refactor = jnp.any(rho != rho_f)
             fac_new = jax.lax.cond(
-                refactor, _build_shared_factors,
-                lambda _: (K_f, M_f, P_f, L_f, rho_f), rho,
+                refactor, _build_split_factors,
+                lambda _: (K_f, M_f, Pc_f, L_f, rho_f), rho,
             )
             fac = [fac_new]
-            K_c, M_c, P_c, L_c, _ = fac_new
+            K_c, M_c, Pc, L_c, _ = fac_new
+            P_c = None
 
         dv_l = pa.admm_bwd_vec_lanes(
             rho_row, pN, A_k, B_k, h_k, D_k, mask_st, P_c, L_c, K_c,
             c_k, wzy,
-            nu=nu, sigma=sigma, ladder_oh=oh, interpret=interpret,
+            nu=nu, sigma=sigma, ladder_oh=oh, Pc=Pc,
+            interpret=interpret,
         )
         shift_st = None
         if shift_l is not None:
@@ -1147,13 +1165,19 @@ def solve_fused(
     if settings.cached_factors and not ladder:
         if state.factors is not None:
             K0, M0, P0, L0, r0 = state.factors
+            # Slot 2: Pc (per-scenario, compute dtype) in split mode,
+            # P (factor dtype) otherwise — opaque, same-mode round
+            # trips only (the documented ADMMState.factors contract).
             fac0 = (K0.astype(fac_dt), M0.astype(fac_dt),
-                    P0.astype(fac_dt), L0.astype(fac_dt), r0)
+                    P0 if split_mode else P0.astype(fac_dt),
+                    L0.astype(fac_dt), r0)
         else:
             Wf = W if shared_mode else Bb   # factor lane width
             zdt = fac_dt if shared_mode else dt
             zf = lambda *dims: jnp.zeros(dims + (Wf,), zdt)
-            fac0 = (zf(N, nu, nx), zf(N, nx, nx), zf(N, nx, nx),
+            slot2 = jnp.zeros((N, nx, Bb), dt) if split_mode \
+                else zf(N, nx, nx)
+            fac0 = (zf(N, nu, nx), zf(N, nx, nx), slot2,
                     zf(N, nu, nu), jnp.full((Bb,), -1.0, dt))
         carry0 = carry0 + (fac0,)
     body = iteration_1k if single_kernel else (
