@@ -360,6 +360,43 @@ def run_admm_bench(args, on_cpu: bool, backend: str) -> int:
             "iters_to_converge_p50": float(np.percentile(it_c, 50)),
             "iters_to_converge_p95": float(np.percentile(it_c, 95)),
         }
+    if args.warm:
+        # Steady-state receding-horizon serving: tick 1 solves cold,
+        # every later tick warm-starts from the previous state (and
+        # cached factors) with a drifted x0 — the reference's
+        # update_problem_data + without_factorization pattern across
+        # replans.  early_exit stops each tick at convergence.
+        import dataclasses as _dc
+
+        import numpy as np
+
+        st_warm = _dc.replace(settings, early_exit=True, max_iter=K)
+        tick = jax.jit(lambda p, x, s: admm.solve_fused(
+            p, x, cones, st_warm, state=s, interpret=on_cpu,
+            soc_shift=shift, single_kernel=single_kernel,
+            storage_dtype=storage_dt))
+        drift = jnp.asarray(
+            np.random.default_rng(0).normal(size=x0s.shape) * 0.002,
+            jnp.float32)
+        ws, state, _ = tick(bp, x0s, None)       # cold tick + compile
+        ws2, state2, info2 = tick(bp, x0s + drift, state)  # warm warmup
+        assert bool(fence(ws2))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            ws2, state2, info2 = tick(bp, x0s + drift, state)
+        bool(fence(ws2))
+        dt = time.perf_counter() - t0
+        iters_warm = float(jnp.mean(info2.iterations))
+        print(json.dumps({
+            "metric": f"WARM conic ADMM ticks: solves/s/chip (N={N}, "
+                      f"B={B}, early-exit, {backend})",
+            "value": round(B * args.iters / dt, 1),
+            "unit": "solves/s",
+            "warm_iterations_mean": iters_warm,
+            "vs_baseline": round(B * args.iters / dt / TARGET_PER_CHIP,
+                                 4),
+        }))
+        return 0
     t0 = time.perf_counter()
     for _ in range(args.iters):
         ws = fn(bp, x0s)
@@ -431,6 +468,11 @@ def main():
                     help="--admm only: one pallas_call per iteration "
                          "(ops/pallas_admm) instead of the "
                          "backward/forward kernel pair")
+    ap.add_argument("--warm", action="store_true",
+                    help="--admm only: measure steady-state WARM ticks "
+                         "(state + cached factors carried across "
+                         "replans, early exit at convergence) instead "
+                         "of cold fixed-iteration solves")
     ap.add_argument("--soc", action="store_true",
                     help="--admm only: quadrotor thrust-SOC tracking "
                          "(BASELINE.json config #3) — box constraints "
