@@ -301,7 +301,14 @@ def run_admm_bench(args, on_cpu: bool, backend: str) -> int:
     N = args.horizon   # honest: --horizon 512 used to silently run 64
     K = args.admm
     cones, shift = (), None
-    if args.soc:
+    if args.model == "centroidal":
+        # Config #5's shape for the FULL loop: centroidal nx=24 with
+        # per-foot friction cones.
+        from pdp_lqr_tpu.models import centroidal
+
+        problem, cone_list = centroidal(N=N, dtype=jnp.float32)
+        cones = tuple(cone_list)
+    elif args.soc:
         # BASELINE.json config #3: thrust-SOC tracking (the constraint
         # shapes of the reference example, lqr_example.cpp:142-154,
         # plus the cone its missing outer loop would project onto).
@@ -334,6 +341,10 @@ def run_admm_bench(args, on_cpu: bool, backend: str) -> int:
         cached_factors=cached and not ladder,
         uniform_rho=shared and cached and not ladder,
         rho_ladder=ladder,
+        # Every bench model's stage cost is diagonal by construction
+        # (verified in tests); the split kernel then streams the
+        # diagonal for its residual terms.
+        diag_cost=args.split and not args.no_diag,
     )
     single_kernel = args.single_kernel and not args.split
     storage_dt = jnp.bfloat16 \
@@ -424,6 +435,8 @@ def run_admm_bench(args, on_cpu: bool, backend: str) -> int:
     solves_per_s = B * args.iters / dt
     if args.split:
         label = "split-kernel"
+        if settings.diag_cost:
+            label += "+diag-cost"
     elif single_kernel:
         label = "single-kernel"
     else:
@@ -438,7 +451,9 @@ def run_admm_bench(args, on_cpu: bool, backend: str) -> int:
         label += "+cached-factors"
         if shared:
             label += "+uniform-rho"
-    if args.soc:
+    if args.model == "centroidal":
+        label = f"centroidal nx={problem.nx} friction-cones, " + label
+    elif args.soc:
         label = "thrust-SOC, " + label
     out = {
         "metric": f"conic ADMM solves/s/chip ({K} iters/solve, N={N}, "
@@ -487,6 +502,11 @@ def main():
                     help="--admm only: one pallas_call per iteration "
                          "(ops/pallas_admm) instead of the "
                          "backward/forward kernel pair")
+    ap.add_argument("--no-diag", action="store_true",
+                    help="--admm --split only: stream the full (nz,nz) "
+                         "H blocks for the residual terms instead of "
+                         "the diagonal (the bench models are diagonal-"
+                         "cost, so the diagonal stream is exact)")
     ap.add_argument("--warm", action="store_true",
                     help="--admm only: measure steady-state WARM ticks "
                          "(state + cached factors carried across "

@@ -476,7 +476,7 @@ def _admm_bwd_vec_kernel_il(nu, nx, nc, T, chunk, sigma, R, pc_mode,
 
 
 def _admm_fwd_update_kernel_il(nu, nx, nc, T, chunk, cones, alpha, sigma,
-                               has_shift, R, *refs):
+                               has_shift, R, diag_cost, *refs):
     nz = nu + nx
     rho_ref, *refs = refs
     if R > 1:
@@ -541,18 +541,24 @@ def _admm_fwd_update_kernel_il(nu, nx, nc, T, chunk, cones, alpha, sigma,
         )
         wzyn_ref[i] = jnp.concatenate([w_new, z_new, y_new], axis=0)
 
+        # Residual H-terms: for DIAGONAL stage costs (most LQ problems
+        # — the quadrotor/centroidal/mass-spring models included) the
+        # Hs stream is its nz-row diagonal and the matvecs collapse to
+        # elementwise products (drops the kernel's biggest pinned
+        # stream, nz^2 rows -> nz, and ~2 nz^2 FMAs/stage).
         Hs = Hs_ref[i].astype(cdt)
+        Hmv = (lambda v: Hs * v) if diag_cost else (lambda v: _mv(Hs, v))
         Dw_new = _mv(D, w_new)
         dw = w - w_t
         zt_term = rho_m * (
             (alpha - 1.0) * (z_t - z) + (z - z_new)
         )
         dvec = (
-            (1.0 - alpha) * _mv(Hs, dw)
+            (1.0 - alpha) * Hmv(dw)
             + (alpha * sigma) * dw
             + _mtv(D, zt_term)
         )
-        Hw = _mv(Hs, w_new) - sigma * w_new
+        Hw = Hmv(w_new) - sigma * w_new
         dty = _mtv(D, y_new)
 
         rp = jnp.max(jnp.abs(Dw_new - z_new), axis=0)
@@ -730,7 +736,11 @@ def admm_fwd_update_lanes(rho, x0, M, K, Hs, D, lb, ub, mask, shift,
     dv = [d | v] from kernel A, and the PACKED iterates wzy
     (N, nz+2nc, B).  Returns (wzy_new, xN, res (4,B)) — the caller
     folds the terminal stage.  ``ladder_oh``: see admm_bwd_vec_lanes
-    (M/K then carry R rungs stacked on rows)."""
+    (M/K then carry R rungs stacked on rows).
+
+    ``Hs`` may be the (N, nz, W) DIAGONAL of a diagonal stage cost
+    (detected from its rank): the residual H-matvecs collapse to
+    elementwise products and the nz^2-row stream shrinks to nz."""
     N, nx = M.shape[0], M.shape[2]
     Bt = wzy.shape[-1]
     nc = D.shape[1]
@@ -738,10 +748,13 @@ def admm_fwd_update_lanes(rho, x0, M, K, Hs, D, lb, ub, mask, shift,
     dt = wzy.dtype
     R = M.shape[1] // nx
     has_shift = shift is not None
+    diag_cost = Hs.ndim == 3
     c_item = jnp.dtype(dt).itemsize
     sw = jnp.dtype(Hs.dtype).itemsize / c_item
     _, words = _split_words(nx, nu, nc, has_shift, sw)
     words += (R - 1) * (nx * nx + nu * nx)             # extra rungs
+    if diag_cost:
+        words -= sw * (nz * nz - nz)
     chunk = _pick_chunk(Bt, int(words) + 1, 24 * nz * nz, c_item)
     M = _shared_slice("M", M, chunk)
     K = _shared_slice("K", K, chunk)
@@ -775,7 +788,8 @@ def admm_fwd_update_lanes(rho, x0, M, K, Hs, D, lb, ub, mask, shift,
     in_specs += [
         resident,
         stage_sh(R * nx, nx, Bt), stage_sh(R * nu, nx, Bt),
-        stage_sh(nz, nz, Bt), stage_sh(nc, nz, Bt),
+        stage_sh(nz, Bt) if diag_cost else stage_sh(nz, nz, Bt),
+        stage_sh(nc, nz, Bt),
         stage_sh(nc, Bt), stage_sh(nc, Bt), stage_sh(nc, Bt),
     ]
     args += [x0, M, K, Hs, D, lb, ub, mask]
@@ -787,7 +801,7 @@ def admm_fwd_update_lanes(rho, x0, M, K, Hs, D, lb, ub, mask, shift,
 
     kernel = functools.partial(
         _admm_fwd_update_kernel_il, nu, nx, nc, T, chunk, tuple(cones),
-        alpha, sigma, has_shift, R,
+        alpha, sigma, has_shift, R, diag_cost,
     )
     return pl.pallas_call(
         kernel,

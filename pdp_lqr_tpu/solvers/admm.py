@@ -83,6 +83,14 @@ class ADMMSettings:
     #   imbalance rule — PER-INSTANCE adaptive rho with batch-shared
     #   factor streams (the middle ground between uniform_rho and the
     #   per-instance replicated path).  Implies uniform_rho=False.
+    diag_cost: bool = False       # solve_fused SPLIT mode: assert the
+    #   stage costs H are diagonal (true for the quadrotor /
+    #   centroidal / mass-spring models and most LQ trackers).  The
+    #   residual H-terms then stream the nz-entry diagonal instead of
+    #   the (nz, nz) blocks — the forward+tail kernel's biggest pinned
+    #   stream and matvecs collapse.  Verified when the problem is
+    #   concrete; under jit the caller vouches (wrong use only skews
+    #   the reported/adaptive residuals, never the trajectories).
     early_exit: bool = False      # solve_fused: stop when EVERY batch
     #   instance converges (lax.while_loop instead of the fixed-trip
     #   scan).  Big win for warm-started serving batches; keep False
@@ -589,6 +597,19 @@ def solve_fused(
         B_l = rep(problem.B)
         c_l = pr.to_lanes(c_b)
         H_l = rep(problem.H[:-1] + sigma * eye_z)
+        Hd_l = None
+        if split_mode and settings.diag_cost:
+            if not isinstance(problem.H, jax.core.Tracer):
+                import numpy as _np
+
+                Hs_np = _np.asarray(problem.H[:-1])
+                offdiag = Hs_np - Hs_np * _np.eye(nz)[None]
+                if _np.abs(offdiag).max() > 0:
+                    raise ValueError(
+                        "diag_cost=True but problem.H has off-diagonal "
+                        f"entries (max {_np.abs(offdiag).max():.2e})")
+            Hd_l = rep(jnp.diagonal(problem.H[:-1], axis1=-2, axis2=-1)
+                       + sigma)
         Dst_l = rep(problem.D[:-1])
         h_stream = rep(problem.h[:-1])
         lb_st = rep(problem.e_lb[:-1])
@@ -701,6 +722,8 @@ def solve_fused(
         (lambda x: x)
     A_k, B_k, c_k = _st(A_l), _st(B_l), _st(c_l)
     H_k, h_k, D_k = _st(H_l), _st(h_stream), _st(Dst_l)
+    if split_mode and settings.diag_cost:
+        H_k = _st(Hd_l)          # kernel B streams the diagonal only
     Wst = A_k.shape[-1]          # stream lane width (W shared, B else)
 
     # Split-mode bf16 serving: the pinned factor streams (P, L, K, M)

@@ -155,6 +155,49 @@ def test_rho_ladder_rejects_bad_configs():
             soc_shift=shift, interpret=True, single_kernel=False)
 
 
+def test_diag_cost_exact_on_diagonal_models():
+    """diag_cost=True streams the H diagonal for the residual terms —
+    bit-identical on the (diagonal-cost) quadrotor; rejected when H
+    has off-diagonal entries and the problem is concrete."""
+    p, cones, x0, shift = _setup()
+    st = admm.ADMMSettings(max_iter=8, rho=0.1, adaptive_rho=False,
+                           cached_factors=True, uniform_rho=True)
+    ws_a, _, ia = admm.solve_fused(p, x0, cones, st, soc_shift=shift,
+                                   interpret=True, single_kernel=False)
+    st_d = dataclasses.replace(st, diag_cost=True)
+    ws_b, _, ib = admm.solve_fused(p, x0, cones, st_d, soc_shift=shift,
+                                   interpret=True, single_kernel=False)
+    np.testing.assert_array_equal(np.asarray(ws_a), np.asarray(ws_b))
+    np.testing.assert_array_equal(np.asarray(ia.r_dual),
+                                  np.asarray(ib.r_dual))
+    pbad = dataclasses.replace(p, H=p.H.at[:, 0, 1].set(0.5))
+    with pytest.raises(ValueError, match="off-diagonal"):
+        admm.solve_fused(pbad, x0, cones, st_d, soc_shift=shift,
+                         interpret=True, single_kernel=False)
+
+
+def test_split_centroidal_friction_cones():
+    """Split iteration generality: centroidal dims (nz=30, nc=6,
+    friction cones, no box rows) vs the replicated two-kernel loop."""
+    from pdp_lqr_tpu.models import centroidal
+
+    p, cone_list = centroidal(N=8, dtype=jnp.float64)
+    B = 4
+    x0 = jnp.asarray(
+        np.random.default_rng(1).normal(size=(B, p.nx)) * 0.05)
+    st = admm.ADMMSettings(max_iter=6, rho=0.1, adaptive_rho=False,
+                           cached_factors=True, uniform_rho=True,
+                           diag_cost=True)
+    ws_sp, _, _ = admm.solve_fused(p, x0, tuple(cone_list), st,
+                                   interpret=True, single_kernel=False)
+    bp = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), p)
+    st_ref = admm.ADMMSettings(max_iter=6, rho=0.1, adaptive_rho=False)
+    ws_ref, _, _ = admm.solve_fused(bp, x0, tuple(cone_list), st_ref,
+                                    interpret=True, single_kernel=False)
+    np.testing.assert_allclose(np.asarray(ws_sp), np.asarray(ws_ref),
+                               atol=1e-9)
+
+
 def test_interleaved_vector_sweep_parity():
     """backward_vectors_lanes(interleave=True) is bit-identical, incl.
     the shared pinned-stream variant (multi-chunk grid)."""
