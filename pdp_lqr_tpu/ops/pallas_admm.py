@@ -612,14 +612,20 @@ def _split_words(nx, nu, nc, has_shift, sw):
 
 
 def split_width(Bt, nx, nu, nc, has_shift=False, storage_dtype=None,
-                compute_dtype=jnp.float32) -> int:
+                compute_dtype=jnp.float32, diag_cost=False) -> int:
     """Replication width for the split iteration's shared streams
-    (covers both kernels' lane chunks)."""
+    (covers both kernels' lane chunks; pass the diag_cost the kernels
+    will run with — fewer words can mean a LARGER chunk)."""
+    nz = nx + nu
     c_item = jnp.dtype(compute_dtype).itemsize
     s_item = jnp.dtype(storage_dtype or compute_dtype).itemsize
-    wa, wb = _split_words(nx, nu, nc, has_shift, s_item / c_item)
-    ca = _pick_chunk(Bt, int(wa) + 1, 24 * (nx + nu) ** 2, c_item)
-    cb = _pick_chunk(Bt, int(wb) + 1, 24 * (nx + nu) ** 2, c_item)
+    sw = s_item / c_item
+    wa, wb = _split_words(nx, nu, nc, has_shift, sw)
+    wa += nx - nx * nx                 # Pc in, P out (kernel A)
+    if diag_cost:
+        wb -= sw * (nz * nz - nz)
+    ca = _pick_chunk(Bt, int(wa) + 1, 24 * nz * nz, c_item)
+    cb = _pick_chunk(Bt, int(wb) + 1, 24 * nz * nz, c_item)
     return max(ca, cb)
 
 

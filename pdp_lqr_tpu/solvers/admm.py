@@ -576,7 +576,8 @@ def solve_fused(
             # factor streams a real copy (~180 MB/iter at N=512)
             # rather than a no-op.
             W = pa.split_width(Bb, nx, nu, nc, soc_shift is not None,
-                               storage_dtype, dt)
+                               storage_dtype, dt,
+                               diag_cost=settings.diag_cost)
         else:
             W = pa.admm_chunk(Bb, N, nx, nu, nc, soc_shift is not None,
                               storage_dtype, dt)
