@@ -475,8 +475,103 @@ def _admm_bwd_vec_kernel_il(nu, nx, nc, T, chunk, sigma, R, pc_mode,
     p_scr[:, sl] = p
 
 
+def _admm_bwd_vec_prefold_kernel(nu, nx, T, chunk,
+                                 pN_ref, A_ref, B_ref, L_ref, K_ref,
+                                 c_ref, Pc_ref, hf_ref,
+                                 dv_ref, p_scr):
+    """PREFOLD backward kernel: the iterate fold already happened —
+    kernel B emitted hf = h - sigma w - D^T(rho z - y) for THIS
+    iteration (valid while rho is unchanged; the refactor cond
+    recomputes it in XLA otherwise).  This kernel is then the pure
+    cached vector recursion: no D/h/mask streams, no packed-iterate
+    read — the slimmest possible backward (measured: kernel A's
+    window set dropped ~570 MB/iter at N=512 B=4096 f32)."""
+    t = pl.program_id(0)
+    ch = pl.program_id(1)
+    sl = pl.ds(ch * chunk, chunk)
+
+    @pl.when(t == 0)
+    def _():
+        p_scr[:, sl] = pN_ref[:, sl]
+
+    cdt = p_scr.dtype
+    p = p_scr[:, sl]
+    for i in range(T - 1, -1, -1):
+        A = A_ref[i].astype(cdt)
+        Bm = B_ref[i].astype(cdt)
+        c = c_ref[i].astype(cdt)
+        hf = hf_ref[i]
+        K = K_ref[i].astype(cdt)
+        Lt = L_ref[i].astype(cdt)
+        L = [[Lt[li, lj] if lj <= li else None for lj in range(nu)]
+             for li in range(nu)]
+
+        Pcp = Pc_ref[i] + p
+        rbar = hf[:nu] + _mtv(Bm, Pcp)
+        d = -jnp.stack(
+            _chol_solve_lanes(L, [rbar[ri] for ri in range(nu)]), axis=0
+        )
+        dv_ref[i] = jnp.concatenate([d, _mv(Bm, d) + c], axis=0)
+        p = hf[nu:] + _mtv(A, Pcp) + _mtv(K, rbar)
+    p_scr[:, sl] = p
+
+
+def admm_bwd_vec_prefold_lanes(pN, A, B, L, K, c, Pc, hf, *, nu,
+                               interpret=False):
+    """Wrapper for the prefold backward kernel (see its docstring).
+    Shared streams: A, B, L, K (W lanes); per-scenario: pN, c, Pc, hf.
+    Returns dv (N, nu+nx, B)."""
+    N, nx = A.shape[0], A.shape[1]
+    Bt = hf.shape[-1]
+    nz = nx + nu
+    dt = hf.dtype
+    c_item = jnp.dtype(dt).itemsize
+    sw = jnp.dtype(A.dtype).itemsize / c_item
+    words = int(sw * (nx * nx + nx * nu + nx)      # A B c
+                + nu * nu + nu * nx                # L K
+                + nx + nz                          # Pc hf
+                + nu + nx) + 1                     # dv out
+    chunk = _pick_chunk(Bt, words, 24 * nz * nz, c_item)
+    A = _shared_slice("A", A, chunk)
+    B = _shared_slice("B", B, chunk)
+    L = _shared_slice("L", L, chunk)
+    K = _shared_slice("K", K, chunk)
+    n_chunks = Bt // chunk
+    T = _split_stages(N, words, 24 * nz * nz, chunk, c_item)
+    NT = N // T
+
+    stage = lambda *dims: pl.BlockSpec(
+        (T,) + dims[:-1] + (chunk,),
+        lambda t, b: (NT - 1 - t,) + (0,) * (len(dims) - 1) + (b,),
+        memory_space=pltpu.VMEM,
+    )
+    stage_sh = lambda *dims: pl.BlockSpec(
+        (T,) + dims[:-1] + (chunk,),
+        lambda t, b: (NT - 1 - t,) + (0,) * (len(dims) - 1) + (0,),
+        memory_space=pltpu.VMEM,
+    )
+    resident = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kernel = functools.partial(_admm_bwd_vec_prefold_kernel, nu, nx, T,
+                               chunk)
+    return pl.pallas_call(
+        kernel,
+        grid=(NT, n_chunks),
+        in_specs=[
+            resident,
+            stage_sh(nx, nx, Bt), stage_sh(nx, nu, Bt),
+            stage_sh(nu, nu, Bt), stage_sh(nu, nx, Bt),
+            stage(nx, Bt), stage(nx, Bt), stage(nz, Bt),
+        ],
+        out_specs=stage(nu + nx, Bt),
+        out_shape=jax.ShapeDtypeStruct((N, nu + nx, Bt), dt),
+        scratch_shapes=[pltpu.VMEM((nx, Bt), dt)],
+        compiler_params=_compiler_params(interpret),
+        interpret=interpret,
+    )(pN, A, B, L, K, c, Pc, hf)
+
+
 def _admm_fwd_update_kernel_il(nu, nx, nc, T, chunk, cones, alpha, sigma,
-                               has_shift, R, diag_cost, *refs):
+                               has_shift, R, diag_cost, emit_hf, *refs):
     nz = nu + nx
     rho_ref, *refs = refs
     if R > 1:
@@ -487,9 +582,15 @@ def _admm_fwd_update_kernel_il(nu, nx, nc, T, chunk, cones, alpha, sigma,
         sh_ref, *rest = rest
     else:
         sh_ref = None
-    (dv_ref, wzy_ref,
-     wzyn_ref, xN_ref, res_ref,
-     x_scr, acc_scr) = rest
+    if emit_hf:
+        h_ref, *rest = rest
+        (dv_ref, wzy_ref,
+         wzyn_ref, hfn_ref, xN_ref, res_ref,
+         x_scr, acc_scr) = rest
+    else:
+        (dv_ref, wzy_ref,
+         wzyn_ref, xN_ref, res_ref,
+         x_scr, acc_scr) = rest
 
     # rho/x0/xN/res are UNBLOCKED full-VMEM residents (see kernel A).
     t = pl.program_id(0)
@@ -540,6 +641,17 @@ def _admm_fwd_update_kernel_il(nu, nx, nc, T, chunk, cones, alpha, sigma,
             alpha * z_t + (1.0 - alpha) * z - z_new
         )
         wzyn_ref[i] = jnp.concatenate([w_new, z_new, y_new], axis=0)
+        if emit_hf:
+            # Fold the NEXT iteration's linear cost while (w+, z+, y+)
+            # are in registers: hf+ = h - sigma w+ - D^T (rho m z+ - y+)
+            # — valid while rho is unchanged (the refactor cond
+            # recomputes it otherwise), freeing the backward kernel of
+            # its D/h/mask streams and packed-iterate read.
+            hfn = h_ref[i].astype(cdt) - sigma * w_new
+            for ci in range(nc):
+                rg_c = rho * m[ci] * z_new[ci] - y_new[ci]
+                hfn = hfn - rg_c[None, :] * D[ci]
+            hfn_ref[i] = hfn
 
         # Residual H-terms: for DIAGONAL stage costs (most LQ problems
         # — the quadrotor/centroidal/mass-spring models included) the
@@ -732,7 +844,7 @@ def admm_bwd_vec_lanes(rho, pN, A, B, h, D, mask, P, L, K, c, wzy,
 
 def admm_fwd_update_lanes(rho, x0, M, K, Hs, D, lb, ub, mask, shift,
                           dv, wzy, *, nu, cones, alpha, sigma,
-                          ladder_oh=None, interpret=False):
+                          ladder_oh=None, h=None, interpret=False):
     """Split-iteration kernel B: closed-loop rollout + relax / project /
     dual / residual tail, chunk-interleaved, shared streams pinned.
 
@@ -746,7 +858,11 @@ def admm_fwd_update_lanes(rho, x0, M, K, Hs, D, lb, ub, mask, shift,
 
     ``Hs`` may be the (N, nz, W) DIAGONAL of a diagonal stage cost
     (detected from its rank): the residual H-matvecs collapse to
-    elementwise products and the nz^2-row stream shrinks to nz."""
+    elementwise products and the nz^2-row stream shrinks to nz.
+
+    ``h`` (pinned raw linear cost, (N, nz, W)) enables hf-EMIT mode:
+    the kernel additionally outputs the NEXT iteration's folded cost
+    hf+ (for admm_bwd_vec_prefold_lanes)."""
     N, nx = M.shape[0], M.shape[2]
     Bt = wzy.shape[-1]
     nc = D.shape[1]
@@ -755,16 +871,21 @@ def admm_fwd_update_lanes(rho, x0, M, K, Hs, D, lb, ub, mask, shift,
     R = M.shape[1] // nx
     has_shift = shift is not None
     diag_cost = Hs.ndim == 3
+    emit_hf = h is not None
     c_item = jnp.dtype(dt).itemsize
     sw = jnp.dtype(Hs.dtype).itemsize / c_item
     _, words = _split_words(nx, nu, nc, has_shift, sw)
     words += (R - 1) * (nx * nx + nu * nx)             # extra rungs
     if diag_cost:
         words -= sw * (nz * nz - nz)
+    if emit_hf:
+        words += sw * nz + nz                          # h in, hf+ out
     chunk = _pick_chunk(Bt, int(words) + 1, 24 * nz * nz, c_item)
     M = _shared_slice("M", M, chunk)
     K = _shared_slice("K", K, chunk)
     Hs = _shared_slice("Hs", Hs, chunk)
+    if emit_hf:
+        h = _shared_slice("h", h, chunk)
     D = _shared_slice("D", D, chunk)
     lb = _shared_slice("lb", lb, chunk)
     ub = _shared_slice("ub", ub, chunk)
@@ -802,26 +923,30 @@ def admm_fwd_update_lanes(rho, x0, M, K, Hs, D, lb, ub, mask, shift,
     if has_shift:
         in_specs.append(stage_sh(nc, Bt))
         args.append(shift)
+    if emit_hf:
+        in_specs.append(stage_sh(nz, Bt))
+        args.append(h)
     in_specs += [stage(nu + nx, Bt), stage(nz + 2 * nc, Bt)]
     args += [dv, wzy]
 
     kernel = functools.partial(
         _admm_fwd_update_kernel_il, nu, nx, nc, T, chunk, tuple(cones),
-        alpha, sigma, has_shift, R, diag_cost,
+        alpha, sigma, has_shift, R, diag_cost, emit_hf,
     )
+    out_specs = [stage(nz + 2 * nc, Bt)]
+    out_shape = [jax.ShapeDtypeStruct((N, nz + 2 * nc, Bt), dt)]
+    if emit_hf:
+        out_specs.append(stage(nz, Bt))
+        out_shape.append(jax.ShapeDtypeStruct((N, nz, Bt), dt))
+    out_specs += [resident, resident]
+    out_shape += [jax.ShapeDtypeStruct((nx, Bt), dt),
+                  jax.ShapeDtypeStruct((4, Bt), dt)]
     return pl.pallas_call(
         kernel,
         grid=(NT, n_chunks),
         in_specs=in_specs,
-        out_specs=(
-            stage(nz + 2 * nc, Bt),
-            resident, resident,
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((N, nz + 2 * nc, Bt), dt),
-            jax.ShapeDtypeStruct((nx, Bt), dt),
-            jax.ShapeDtypeStruct((4, Bt), dt),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[pltpu.VMEM((nx, Bt), dt),
                         pltpu.VMEM((4, Bt), dt)],
         compiler_params=_compiler_params(interpret),

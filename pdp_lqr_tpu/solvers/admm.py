@@ -755,6 +755,18 @@ def solve_fused(
                     P.astype(fac_dt), L.astype(fac_dt), rho_op)
 
     if split_mode and not ladder:
+        def _xla_fold(wzy_op, rho_op):
+            """hf = h - sigma w - D^T (rho m z - y) from the packed
+            iterates — the XLA fallback fold, used once at entry and on
+            refactor iterations (kernel B emits hf in steady state)."""
+            hf_n = h_stream[..., :1] - sigma * wzy_op[:, :nz]
+            for ci in range(nc):
+                rg_c = (rho_op[None, :] * scale1[:-1, ci][:, None]
+                        * wzy_op[:, nz + ci]
+                        - wzy_op[:, nz + nc + ci])        # (N, B)
+                hf_n = hf_n - rg_c[:, None, :] * Dst_l[:, ci, :, :1]
+            return hf_n
+
         def _build_split_factors(rho_op):
             """Factor build + the per-scenario Pc = P_{k+1} c fold —
             computed ONLY on refactor iterations (P enters the vector
@@ -955,10 +967,16 @@ def solve_fused(
         model/factor streams (ops/pallas_admm split kernels) — the
         long-horizon shared serving path.  Stage iterates ride ONE
         packed (N, nz+2nc, B) carry array [w | z | y] so each kernel
-        issues a single per-scenario iterate window per grid step."""
+        issues a single per-scenario iterate window per grid step.  In
+        the non-ladder flow, kernel B also emits the NEXT iteration's
+        folded cost hf (carried), so kernel A is the slim PREFOLD
+        vector sweep (no D/h/mask streams, no iterate read)."""
         from pdp_lqr_tpu.ops import pallas_admm as pa
 
-        wzy, wN, zN, yN, rho, stats, *fac = carry
+        if ladder:
+            wzy, wN, zN, yN, rho, stats, *fac = carry
+        else:
+            wzy, hf, wN, zN, yN, rho, stats, *fac = carry
         rho_row = rho[None, :]                       # (1, B)
 
         # Terminal linear fold (per-scenario vector, XLA — tiny).
@@ -967,8 +985,10 @@ def solve_fused(
             rho_cN = rho * scaleN[ci]
             pN = pN - (rho_cN * zN[ci] - yN[ci])[None, :] * DN_l[ci]
 
-        oh = None
-        Pc = None
+        shift_st = None
+        if shift_l is not None:
+            shift_st = jnp.broadcast_to(shift_l[:-1], (N, nc, Wst))
+
         if ladder:
             # Loop-invariant R-rung factor stack + per-lane one-hot
             # selectors (rho always holds exact rung values).
@@ -977,36 +997,47 @@ def solve_fused(
                 [(rho == jnp.asarray(r, dt)).astype(dt) for r in ladder],
                 axis=0,
             )
-        else:
-            # fac slot 2 carries Pc (N, nx, B), not P: see
-            # _build_split_factors.
-            K_f, M_f, Pc_f, L_f, rho_f = fac[0]
-            refactor = jnp.any(rho != rho_f)
-            fac_new = jax.lax.cond(
-                refactor, _build_split_factors,
-                lambda _: (K_f, M_f, Pc_f, L_f, rho_f), rho,
+            dv_l = pa.admm_bwd_vec_lanes(
+                rho_row, pN, A_k, B_k, h_k, D_k, mask_st, P_c, L_c,
+                K_c, c_k, wzy,
+                nu=nu, sigma=sigma, ladder_oh=oh, interpret=interpret,
             )
-            fac = [fac_new]
-            K_c, M_c, Pc, L_c, _ = fac_new
-            P_c = None
+            wzy_new, xN, res = pa.admm_fwd_update_lanes(
+                rho_row, x0_l, M_c, K_c, H_k, D_k, lb_st, ub_st,
+                mask_st, shift_st, dv_l, wzy,
+                nu=nu, cones=cones3, alpha=alpha, sigma=sigma,
+                ladder_oh=oh, interpret=interpret,
+            )
+            return _terminal_tail(wN, zN, yN, rho, stats, fac,
+                                  (wzy_new,), xN, res)
 
-        dv_l = pa.admm_bwd_vec_lanes(
-            rho_row, pN, A_k, B_k, h_k, D_k, mask_st, P_c, L_c, K_c,
-            c_k, wzy,
-            nu=nu, sigma=sigma, ladder_oh=oh, Pc=Pc,
-            interpret=interpret,
+        # fac slot 2 carries Pc (N, nx, B), not P: see
+        # _build_split_factors.  The refactor branch also recomputes
+        # hf (the carried one embeds the PREVIOUS rho).
+        K_f, M_f, Pc_f, L_f, rho_f = fac[0]
+        refactor = jnp.any(rho != rho_f)
+        fac_new, hf_use = jax.lax.cond(
+            refactor,
+            lambda op: (_build_split_factors(op[0]),
+                        _xla_fold(op[1], op[0])),
+            lambda op: ((K_f, M_f, Pc_f, L_f, rho_f), hf),
+            (rho, wzy),
         )
-        shift_st = None
-        if shift_l is not None:
-            shift_st = jnp.broadcast_to(shift_l[:-1], (N, nc, Wst))
-        wzy_new, xN, res = pa.admm_fwd_update_lanes(
+        fac = [fac_new]
+        K_c, M_c, Pc, L_c, _ = fac_new
+
+        dv_l = pa.admm_bwd_vec_prefold_lanes(
+            pN, A_k, B_k, L_c, K_c, c_k, Pc, hf_use,
+            nu=nu, interpret=interpret,
+        )
+        wzy_new, hf_next, xN, res = pa.admm_fwd_update_lanes(
             rho_row, x0_l, M_c, K_c, H_k, D_k, lb_st, ub_st, mask_st,
             shift_st, dv_l, wzy,
             nu=nu, cones=cones3, alpha=alpha, sigma=sigma,
-            ladder_oh=oh, interpret=interpret,
+            h=h_k, interpret=interpret,
         )
         return _terminal_tail(wN, zN, yN, rho, stats, fac,
-                              (wzy_new,), xN, res)
+                              (wzy_new, hf_next), xN, res)
 
     if residual_weights is not None:
         pwt_l = residual_weights[0][..., None]   # (N+1, nc, 1)
@@ -1177,8 +1208,14 @@ def solve_fused(
     w_l, z_l, y_l = l3(state.w), l3(state.z), l3(state.y)
     if split_mode:
         wzy0 = jnp.concatenate([w_l[:-1], z_l[:-1], y_l[:-1]], axis=1)
-        carry0 = (wzy0, w_l[-1], z_l[-1], y_l[-1], rho0, stats0)
-        stats_idx = 5
+        if ladder:
+            carry0 = (wzy0, w_l[-1], z_l[-1], y_l[-1], rho0, stats0)
+            stats_idx = 5
+        else:
+            hf0 = _xla_fold(wzy0, rho0)
+            carry0 = (wzy0, hf0, w_l[-1], z_l[-1], y_l[-1],
+                      rho0, stats0)
+            stats_idx = 6
     elif single_kernel:
         carry0 = (w_l[:-1], z_l[:-1], y_l[:-1],
                   w_l[-1], z_l[-1], y_l[-1], rho0, stats0)
@@ -1220,7 +1257,10 @@ def solve_fused(
             body, carry0, None, length=settings.max_iter,
         )
     if split_mode:
-        (wzy, wN, zN, yN, rho, stats, *fac_out) = out_carry
+        if ladder:
+            (wzy, wN, zN, yN, rho, stats, *fac_out) = out_carry
+        else:
+            (wzy, _hf, wN, zN, yN, rho, stats, *fac_out) = out_carry
         w = jnp.concatenate([wzy[:, :nz], wN[None]], axis=0)
         z = jnp.concatenate([wzy[:, nz:nz + nc], zN[None]], axis=0)
         y = jnp.concatenate([wzy[:, nz + nc:], yN[None]], axis=0)
