@@ -333,8 +333,18 @@ def run_admm_bench(args, on_cpu: bool, backend: str) -> int:
         bp = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (B,) + x.shape), problem)
     x0s = jnp.full((B, problem.nx), 0.03, jnp.float32)
-    ladder = tuple(float(r) for r in args.ladder.split(",")) \
-        if args.ladder else ()
+    if args.ladder == "auto":
+        # Data-driven rung selection: probe the per-instance adaptive
+        # footprint on a subsample, place rungs at its log-quantiles.
+        ladder = admm.suggest_rho_ladder(
+            bp, x0s, cones,
+            admm.ADMMSettings(rho=0.1, rho_update_interval=25),
+            rungs=4, probe_iters=min(K, 50), soc_shift=shift,
+            interpret=on_cpu)
+        print(f"# suggested rho ladder: {ladder}")
+    else:
+        ladder = tuple(float(r) for r in args.ladder.split(",")) \
+            if args.ladder else ()
     settings = admm.ADMMSettings(
         max_iter=K, rho_update_interval=25, rho=0.1,
         eps_abs=1e-4, eps_rel=1e-4,
@@ -521,7 +531,9 @@ def main():
                     help="--admm --split only: comma-separated rho "
                          "rungs (per-instance adaptive rho on a "
                          "static grid, factors per rung on the "
-                         "pinned streams)")
+                         "pinned streams), or 'auto' to probe the "
+                         "adaptive footprint and place rungs at its "
+                         "log-quantiles (admm.suggest_rho_ladder)")
     ap.add_argument("--split", action="store_true",
                     help="--admm only: shared split iteration (chunk-"
                          "interleaved backward-vector + forward+tail "

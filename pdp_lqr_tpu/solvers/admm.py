@@ -1287,6 +1287,82 @@ def solve_fused(
     ), info
 
 
+def suggest_rho_ladder(
+    problem,
+    x0,
+    cones: Sequence[projections.ConeSpec] = (),
+    settings: ADMMSettings = ADMMSettings(),
+    *,
+    rungs: int = 4,
+    probe_batch: int = 128,
+    probe_iters: Optional[int] = None,
+    soc_shift=None,
+    interpret: bool = False,
+):
+    """Pick ``rho_ladder`` rungs from the problem's own adaptive-rho
+    footprint.
+
+    Runs a short PER-INSTANCE adaptive-rho probe on a strided subsample
+    of the batch through the replicated loop (the path with
+    unrestricted per-instance rho), then places up to ``rungs``
+    geometric rungs at the log-space quantiles of the probe's final rho
+    distribution.  This replaces the hand-picked geometric grids of
+    ``ADMMSettings.rho_ladder`` with a data-driven rung set: rungs sit
+    where the OSQP sec-5.2 imbalance rule actually sends instances for
+    THIS problem / scenario distribution, so snapping to rungs loses
+    little vs free per-instance adaptation.  The probe is a host-side
+    one-off (serving setup time, not the hot loop).  ``probe_batch``
+    defaults to 128 — the hardware lane floor for the Pallas paths the
+    probe runs through.
+
+    Shared-mode problems (``problem.A.ndim == 3``; the ownership shape
+    of the reference's model, lqr_model.hpp:66-89) are replicated over
+    the probe subsample; batched problems are subsampled directly.
+    Returns a sorted tuple of 1..``rungs`` distinct values — rungs
+    closer than 10% in log space are merged, since a ladder with
+    redundant rungs only widens the pinned factor streams the split
+    kernels cache per rung (lqr_solver.hpp:65-70's
+    without_factorization fast path is what each rung caches).
+    """
+    import numpy as np
+
+    B = int(x0.shape[0])
+    idx = np.unique(np.linspace(0, B - 1,
+                                min(int(probe_batch), B)).astype(int))
+    x0p = jnp.asarray(x0)[idx]
+    shared_mode = problem.A.ndim == 3
+    if shared_mode:
+        # Only ``c`` may carry a per-scenario batch axis in shared mode.
+        c_batched = problem.c.ndim == 3
+        base = (dataclasses.replace(problem, c=problem.c[0])
+                if c_batched else problem)
+        pp = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (len(idx),) + a.shape), base)
+        if c_batched:
+            pp = dataclasses.replace(pp, c=problem.c[idx])
+    else:
+        pp = jax.tree.map(lambda a: a[idx], problem)
+    ps = dataclasses.replace(
+        settings, adaptive_rho=True, cached_factors=False,
+        uniform_rho=False, rho_ladder=(),
+        max_iter=int(probe_iters if probe_iters is not None
+                     else settings.max_iter))
+    _, st, _ = solve_fused(pp, x0p, tuple(cones), ps,
+                           soc_shift=soc_shift, interpret=interpret)
+    rho = np.asarray(jax.device_get(st.rho), np.float64).ravel()
+    rho = rho[np.isfinite(rho) & (rho > 0.0)]
+    if rho.size == 0:  # degenerate probe: fall back to the start rho
+        return (float(settings.rho),)
+    logs = np.log(rho)
+    R = max(1, int(rungs))
+    picks = np.exp(np.quantile(logs, (np.arange(R) + 0.5) / R))
+    out = []
+    for r in picks:
+        if not out or np.log(r) - np.log(out[-1]) > 0.1:
+            out.append(float(r))
+    return tuple(float(f"{r:.4g}") for r in out)
+
+
 def solve_equilibrated(
     problem: LQRProblem,
     x0,

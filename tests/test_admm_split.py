@@ -222,3 +222,43 @@ def test_interleaved_vector_sweep_parity():
                                        interpret=True, interleave=True)
     np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
     np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+
+
+def test_suggest_rho_ladder_degenerate_is_start_rho():
+    """No adaptation fires within the probe budget -> one rung, the
+    start rho (exactly — probe rho never moves)."""
+    p, cones, x0, shift = _setup()
+    rungs = admm.suggest_rho_ladder(
+        p, x0, cones,
+        admm.ADMMSettings(rho=0.1, rho_update_interval=10),
+        rungs=4, probe_iters=2, soc_shift=shift, interpret=True)
+    assert rungs == (0.1,)
+
+
+def test_suggest_rho_ladder_covers_probe_footprint():
+    p, cones, x0, shift = _setup()
+    st = admm.ADMMSettings(rho=0.1, rho_update_interval=3)
+    rungs = admm.suggest_rho_ladder(
+        p, x0, cones, st, rungs=3, probe_iters=12,
+        soc_shift=shift, interpret=True)
+    assert 1 <= len(rungs) <= 3
+    assert list(rungs) == sorted(rungs) and all(r > 0 for r in rungs)
+    # The rungs are log-quantiles of the probe's per-instance rho:
+    # every probe rho lies within a quantile gap of the rung span.
+    import dataclasses as dc
+
+    B = x0.shape[0]
+    bp = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), p)
+    _, stp, _ = admm.solve_fused(
+        bp, x0, cones, dc.replace(st, max_iter=12),
+        soc_shift=shift, interpret=True)
+    lo, hi = np.log(rungs[0]), np.log(rungs[-1])
+    span = max(hi - lo, 0.1)
+    logs = np.log(np.asarray(stp.rho))
+    assert np.all(logs > lo - span) and np.all(logs < hi + span)
+    # And the suggested ladder actually runs through the split path.
+    ws, _, _ = admm.solve_fused(
+        p, x0, cones,
+        dc.replace(st, max_iter=6, rho_ladder=rungs),
+        soc_shift=shift, interpret=True, single_kernel=False)
+    assert bool(jnp.all(jnp.isfinite(ws)))
