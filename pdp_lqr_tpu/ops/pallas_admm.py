@@ -476,7 +476,7 @@ def _admm_bwd_vec_kernel_il(nu, nx, nc, T, chunk, sigma, R, pc_mode,
 
 
 def _admm_bwd_vec_prefold_kernel(nu, nx, T, chunk,
-                                 pN_ref, A_ref, B_ref, L_ref, K_ref,
+                                 pN_ref, AK_ref, BL_ref,
                                  c_ref, Pc_ref, hf_ref,
                                  dv_ref, p_scr):
     """PREFOLD backward kernel: the iterate fold already happened —
@@ -485,7 +485,14 @@ def _admm_bwd_vec_prefold_kernel(nu, nx, T, chunk,
     recomputes it in XLA otherwise).  This kernel is then the pure
     cached vector recursion: no D/h/mask streams, no packed-iterate
     read — the slimmest possible backward (measured: kernel A's
-    window set dropped ~570 MB/iter at N=512 B=4096 f32)."""
+    window set dropped ~570 MB/iter at N=512 B=4096 f32).
+
+    The pinned matrix streams ride PACKED on the leading (untiled)
+    per-stage row axis — AK = [A; K] (nz, nx, W) and BL = [B; L]
+    (nz, nu, W) — so the four shared windows of the unpacked form
+    collapse to two (the sweeps are per-window-issue-bound; same
+    bytes, half the DMA issues).  Leading-axis slices are free: the
+    (8, 128) tiling lives on the trailing (cols, lanes) dims."""
     t = pl.program_id(0)
     ch = pl.program_id(1)
     sl = pl.ds(ch * chunk, chunk)
@@ -497,12 +504,12 @@ def _admm_bwd_vec_prefold_kernel(nu, nx, T, chunk,
     cdt = p_scr.dtype
     p = p_scr[:, sl]
     for i in range(T - 1, -1, -1):
-        A = A_ref[i].astype(cdt)
-        Bm = B_ref[i].astype(cdt)
+        ak = AK_ref[i].astype(cdt)
+        A, K = ak[:nx], ak[nx:]
+        bl = BL_ref[i].astype(cdt)
+        Bm, Lt = bl[:nx], bl[nx:]
         c = c_ref[i].astype(cdt)
         hf = hf_ref[i]
-        K = K_ref[i].astype(cdt)
-        Lt = L_ref[i].astype(cdt)
         L = [[Lt[li, lj] if lj <= li else None for lj in range(nu)]
              for li in range(nu)]
 
@@ -516,26 +523,25 @@ def _admm_bwd_vec_prefold_kernel(nu, nx, T, chunk,
     p_scr[:, sl] = p
 
 
-def admm_bwd_vec_prefold_lanes(pN, A, B, L, K, c, Pc, hf, *, nu,
+def admm_bwd_vec_prefold_lanes(pN, AK, BL, c, Pc, hf, *, nu,
                                interpret=False):
     """Wrapper for the prefold backward kernel (see its docstring).
-    Shared streams: A, B, L, K (W lanes); per-scenario: pN, c, Pc, hf.
-    Returns dv (N, nu+nx, B)."""
-    N, nx = A.shape[0], A.shape[1]
+    Shared streams (packed on the leading row axis): AK = [A; K]
+    (N, nz, nx, W), BL = [B; L] (N, nz, nu, W); per-scenario: pN, c,
+    Pc, hf.  Returns dv (N, nu+nx, B)."""
+    N, nx = AK.shape[0], AK.shape[2]
     Bt = hf.shape[-1]
     nz = nx + nu
     dt = hf.dtype
     c_item = jnp.dtype(dt).itemsize
-    sw = jnp.dtype(A.dtype).itemsize / c_item
+    sw = jnp.dtype(AK.dtype).itemsize / c_item
     words = int(sw * (nx * nx + nx * nu + nx)      # A B c
                 + nu * nu + nu * nx                # L K
                 + nx + nz                          # Pc hf
                 + nu + nx) + 1                     # dv out
     chunk = _pick_chunk(Bt, words, 24 * nz * nz, c_item)
-    A = _shared_slice("A", A, chunk)
-    B = _shared_slice("B", B, chunk)
-    L = _shared_slice("L", L, chunk)
-    K = _shared_slice("K", K, chunk)
+    AK = _shared_slice("AK", AK, chunk)
+    BL = _shared_slice("BL", BL, chunk)
     n_chunks = Bt // chunk
     T = _split_stages(N, words, 24 * nz * nz, chunk, c_item)
     NT = N // T
@@ -558,8 +564,7 @@ def admm_bwd_vec_prefold_lanes(pN, A, B, L, K, c, Pc, hf, *, nu,
         grid=(NT, n_chunks),
         in_specs=[
             resident,
-            stage_sh(nx, nx, Bt), stage_sh(nx, nu, Bt),
-            stage_sh(nu, nu, Bt), stage_sh(nu, nx, Bt),
+            stage_sh(nz, nx, Bt), stage_sh(nz, nu, Bt),
             stage(nx, Bt), stage(nx, Bt), stage(nz, Bt),
         ],
         out_specs=stage(nu + nx, Bt),
@@ -567,21 +572,30 @@ def admm_bwd_vec_prefold_lanes(pN, A, B, L, K, c, Pc, hf, *, nu,
         scratch_shapes=[pltpu.VMEM((nx, Bt), dt)],
         compiler_params=_compiler_params(interpret),
         interpret=interpret,
-    )(pN, A, B, L, K, c, Pc, hf)
+    )(pN, AK, BL, c, Pc, hf)
 
 
 def _admm_fwd_update_kernel_il(nu, nx, nc, T, chunk, cones, alpha, sigma,
-                               has_shift, R, diag_cost, emit_hf, *refs):
+                               has_shift, R, diag_cost, emit_hf, packed,
+                               *refs):
     nz = nu + nx
     rho_ref, *refs = refs
     if R > 1:
         oh_ref, *refs = refs
-    (x0_ref,
-     M_ref, K_ref, Hs_ref, D_ref, lb_ref, ub_ref, m_ref, *rest) = refs
-    if has_shift:
-        sh_ref, *rest = rest
-    else:
+    if packed:
+        # Pinned streams packed on the leading (untiled) axis:
+        # MK = [M; K] (nz, nx, W) per stage, bnd = stack(lb, ub, mask
+        # [, shift]) (3+s, nc, W) — same bytes, 5-6 windows -> 2.
+        (x0_ref, MK_ref, Hs_ref, D_ref, bnd_ref, *rest) = refs
         sh_ref = None
+    else:
+        (x0_ref,
+         M_ref, K_ref, Hs_ref, D_ref, lb_ref, ub_ref, m_ref,
+         *rest) = refs
+        if has_shift:
+            sh_ref, *rest = rest
+        else:
+            sh_ref = None
     if emit_hf:
         h_ref, *rest = rest
         (dv_ref, wzy_ref,
@@ -609,7 +623,10 @@ def _admm_fwd_update_kernel_il(nu, nx, nc, T, chunk, cones, alpha, sigma,
     x = x_scr[:, sl]
     acc = acc_scr[:, sl]
     for i in range(T):
-        if R > 1:
+        if packed:
+            mk = MK_ref[i].astype(cdt)
+            M, K = mk[:nx], mk[nx:]
+        elif R > 1:
             K = _rung_select(K_ref[i].astype(cdt), nu, sel)
             M = _rung_select(M_ref[i].astype(cdt), nx, sel)
         else:
@@ -625,10 +642,15 @@ def _admm_fwd_update_kernel_il(nu, nx, nc, T, chunk, cones, alpha, sigma,
         z = wzy[nz : nz + nc]
         y = wzy[nz + nc :]
         D = D_ref[i].astype(cdt)
-        m = m_ref[i]
-        lb = lb_ref[i]
-        ub = ub_ref[i]
-        sh = sh_ref[i] if has_shift else None
+        if packed:
+            bnd = bnd_ref[i]
+            lb, ub, m = bnd[0], bnd[1], bnd[2]
+            sh = bnd[3] if has_shift else None
+        else:
+            m = m_ref[i]
+            lb = lb_ref[i]
+            ub = ub_ref[i]
+            sh = sh_ref[i] if has_shift else None
 
         z_t = _mv(D, w_t)                              # (nc, chunk)
         w_new = alpha * w_t + (1.0 - alpha) * w
@@ -862,14 +884,31 @@ def admm_fwd_update_lanes(rho, x0, M, K, Hs, D, lb, ub, mask, shift,
 
     ``h`` (pinned raw linear cost, (N, nz, W)) enables hf-EMIT mode:
     the kernel additionally outputs the NEXT iteration's folded cost
-    hf+ (for admm_bwd_vec_prefold_lanes)."""
+    hf+ (for admm_bwd_vec_prefold_lanes).
+
+    PACKED mode (``K is None``, non-ladder): ``M`` carries MK = [M; K]
+    (N, nz, nx, W) packed on the leading row axis and ``lb`` carries
+    bnd = stack(lb, ub, mask[, shift]) (N, 3+s, nc, W) — same bytes,
+    5-6 pinned windows collapse to 2 (the kernels are per-window-
+    issue-bound); ``ub``/``mask``/``shift`` must be None and the
+    shift presence is read off bnd's row count."""
+    packed = K is None
     N, nx = M.shape[0], M.shape[2]
     Bt = wzy.shape[-1]
     nc = D.shape[1]
     nz = nx + nu
     dt = wzy.dtype
-    R = M.shape[1] // nx
-    has_shift = shift is not None
+    if packed:
+        if ub is not None or mask is not None or shift is not None \
+                or ladder_oh is not None:
+            raise ValueError("packed mode (K=None) takes bnd via lb "
+                             "and is non-ladder only")
+        R = 1
+        nbnd = lb.shape[1]
+        has_shift = nbnd == 4
+    else:
+        R = M.shape[1] // nx
+        has_shift = shift is not None
     diag_cost = Hs.ndim == 3
     emit_hf = h is not None
     c_item = jnp.dtype(dt).itemsize
@@ -881,17 +920,19 @@ def admm_fwd_update_lanes(rho, x0, M, K, Hs, D, lb, ub, mask, shift,
     if emit_hf:
         words += sw * nz + nz                          # h in, hf+ out
     chunk = _pick_chunk(Bt, int(words) + 1, 24 * nz * nz, c_item)
-    M = _shared_slice("M", M, chunk)
-    K = _shared_slice("K", K, chunk)
+    M = _shared_slice("MK" if packed else "M", M, chunk)
+    if not packed:
+        K = _shared_slice("K", K, chunk)
     Hs = _shared_slice("Hs", Hs, chunk)
     if emit_hf:
         h = _shared_slice("h", h, chunk)
     D = _shared_slice("D", D, chunk)
-    lb = _shared_slice("lb", lb, chunk)
-    ub = _shared_slice("ub", ub, chunk)
-    mask = _shared_slice("mask", mask, chunk)
-    if has_shift:
-        shift = _shared_slice("shift", shift, chunk)
+    lb = _shared_slice("bnd" if packed else "lb", lb, chunk)
+    if not packed:
+        ub = _shared_slice("ub", ub, chunk)
+        mask = _shared_slice("mask", mask, chunk)
+        if has_shift:
+            shift = _shared_slice("shift", shift, chunk)
     n_chunks = Bt // chunk
     T = _split_stages(N, int(words) + 1, 24 * nz * nz, chunk, c_item)
     NT = N // T
@@ -912,17 +953,27 @@ def admm_fwd_update_lanes(rho, x0, M, K, Hs, D, lb, ub, mask, shift,
     if R > 1:
         in_specs.append(resident)
         args.append(ladder_oh)
-    in_specs += [
-        resident,
-        stage_sh(R * nx, nx, Bt), stage_sh(R * nu, nx, Bt),
-        stage_sh(nz, Bt) if diag_cost else stage_sh(nz, nz, Bt),
-        stage_sh(nc, nz, Bt),
-        stage_sh(nc, Bt), stage_sh(nc, Bt), stage_sh(nc, Bt),
-    ]
-    args += [x0, M, K, Hs, D, lb, ub, mask]
-    if has_shift:
-        in_specs.append(stage_sh(nc, Bt))
-        args.append(shift)
+    if packed:
+        in_specs += [
+            resident,
+            stage_sh(nz, nx, Bt),
+            stage_sh(nz, Bt) if diag_cost else stage_sh(nz, nz, Bt),
+            stage_sh(nc, nz, Bt),
+            stage_sh(nbnd, nc, Bt),
+        ]
+        args += [x0, M, Hs, D, lb]
+    else:
+        in_specs += [
+            resident,
+            stage_sh(R * nx, nx, Bt), stage_sh(R * nu, nx, Bt),
+            stage_sh(nz, Bt) if diag_cost else stage_sh(nz, nz, Bt),
+            stage_sh(nc, nz, Bt),
+            stage_sh(nc, Bt), stage_sh(nc, Bt), stage_sh(nc, Bt),
+        ]
+        args += [x0, M, K, Hs, D, lb, ub, mask]
+        if has_shift:
+            in_specs.append(stage_sh(nc, Bt))
+            args.append(shift)
     if emit_hf:
         in_specs.append(stage_sh(nz, Bt))
         args.append(h)
@@ -931,7 +982,7 @@ def admm_fwd_update_lanes(rho, x0, M, K, Hs, D, lb, ub, mask, shift,
 
     kernel = functools.partial(
         _admm_fwd_update_kernel_il, nu, nx, nc, T, chunk, tuple(cones),
-        alpha, sigma, has_shift, R, diag_cost, emit_hf,
+        alpha, sigma, has_shift, R, diag_cost, emit_hf, packed,
     )
     out_specs = [stage(nz + 2 * nc, Bt)]
     out_shape = [jax.ShapeDtypeStruct((N, nz + 2 * nc, Bt), dt)]

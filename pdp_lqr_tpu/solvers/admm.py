@@ -109,7 +109,9 @@ class ADMMState:
 
     ``factors`` (solve_fused with cached_factors only) carries the
     per-stage (K, M, P, chol(Huu), rho-at-factor) tensors in the lanes
-    layout, so a warm-started solve skips even its FIRST
+    layout — in the shared SPLIT mode, the row-packed
+    ([A;K], [B;L], [M;K], Pc, rho-at-factor) stream form the split
+    kernels consume — so a warm-started solve skips even its FIRST
     refactorization while rho and the problem data are unchanged —
     the reference's steady-state MPC pattern (update_problem_data +
     backward_without_factorization + forward across replans).  Opaque:
@@ -772,12 +774,28 @@ def solve_fused(
             computed ONLY on refactor iterations (P enters the vector
             recursion only through this product; folding it per
             iteration in XLA was measured to cost more than the
-            kernel's P-stream saving)."""
+            kernel's P-stream saving).  The factor carry rides PACKED
+            on the leading per-stage row axis — AK = [A; K],
+            BL = [B; L] for kernel A, MK = [M; K] for kernel B — so
+            each kernel issues half the pinned matrix windows (the
+            split pair is per-window-issue-bound; K's bytes are
+            duplicated across AK/MK, but each kernel reads exactly
+            what it read unpacked)."""
             K, M, P, L, r = _build_shared_factors(rho_op)
             Pc = jnp.einsum("kij,kjb->kib",
                             P[..., 0].astype(dt), c_l,
                             precision=jax.lax.Precision.HIGHEST)
-            return (K, M, Pc, L, r)
+            return (jnp.concatenate([A_k, K], axis=1),
+                    jnp.concatenate([B_k, L], axis=1),
+                    jnp.concatenate([M, K], axis=1), Pc, r)
+
+        # Loop-invariant pinned bound stack for kernel B's packed
+        # window: [lb | ub | rho-mask (| shift)] on a leading axis.
+        bnd_parts = [lb_st, ub_st, mask_st]
+        if shift_l is not None:
+            bnd_parts.append(
+                jnp.broadcast_to(shift_l[:-1], (N, nc, Wst)))
+        bnd_st = jnp.stack(bnd_parts, axis=1)    # (N, 3+s, nc, Wst)
 
     ladder_fac = None
     if ladder:
@@ -1011,28 +1029,28 @@ def solve_fused(
             return _terminal_tail(wN, zN, yN, rho, stats, fac,
                                   (wzy_new,), xN, res)
 
-        # fac slot 2 carries Pc (N, nx, B), not P: see
+        # fac slots carry the PACKED streams (AK, BL, MK, Pc): see
         # _build_split_factors.  The refactor branch also recomputes
         # hf (the carried one embeds the PREVIOUS rho).
-        K_f, M_f, Pc_f, L_f, rho_f = fac[0]
+        AK_f, BL_f, MK_f, Pc_f, rho_f = fac[0]
         refactor = jnp.any(rho != rho_f)
         fac_new, hf_use = jax.lax.cond(
             refactor,
             lambda op: (_build_split_factors(op[0]),
                         _xla_fold(op[1], op[0])),
-            lambda op: ((K_f, M_f, Pc_f, L_f, rho_f), hf),
+            lambda op: ((AK_f, BL_f, MK_f, Pc_f, rho_f), hf),
             (rho, wzy),
         )
         fac = [fac_new]
-        K_c, M_c, Pc, L_c, _ = fac_new
+        AK_c, BL_c, MK_c, Pc, _ = fac_new
 
         dv_l = pa.admm_bwd_vec_prefold_lanes(
-            pN, A_k, B_k, L_c, K_c, c_k, Pc, hf_use,
+            pN, AK_c, BL_c, c_k, Pc, hf_use,
             nu=nu, interpret=interpret,
         )
         wzy_new, hf_next, xN, res = pa.admm_fwd_update_lanes(
-            rho_row, x0_l, M_c, K_c, H_k, D_k, lb_st, ub_st, mask_st,
-            shift_st, dv_l, wzy,
+            rho_row, x0_l, MK_c, None, H_k, D_k, bnd_st, None, None,
+            None, dv_l, wzy,
             nu=nu, cones=cones3, alpha=alpha, sigma=sigma,
             h=h_k, interpret=interpret,
         )
@@ -1225,21 +1243,28 @@ def solve_fused(
         stats_idx = 4
     if settings.cached_factors and not ladder:
         if state.factors is not None:
-            K0, M0, P0, L0, r0 = state.factors
-            # Slot 2: Pc (per-scenario, compute dtype) in split mode,
-            # P (factor dtype) otherwise — opaque, same-mode round
-            # trips only (the documented ADMMState.factors contract).
-            fac0 = (K0.astype(fac_dt), M0.astype(fac_dt),
-                    P0 if split_mode else P0.astype(fac_dt),
-                    L0.astype(fac_dt), r0)
+            # Split mode: packed (AK, BL, MK, Pc) streams (Pc
+            # per-scenario, compute dtype); otherwise (K, M, P, L) —
+            # opaque, same-mode round trips only (the documented
+            # ADMMState.factors contract).
+            s0, s1, s2, s3, r0 = state.factors
+            if split_mode:
+                fac0 = (s0.astype(fac_dt), s1.astype(fac_dt),
+                        s2.astype(fac_dt), s3, r0)
+            else:
+                fac0 = (s0.astype(fac_dt), s1.astype(fac_dt),
+                        s2.astype(fac_dt), s3.astype(fac_dt), r0)
         else:
             Wf = W if shared_mode else Bb   # factor lane width
             zdt = fac_dt if shared_mode else dt
             zf = lambda *dims: jnp.zeros(dims + (Wf,), zdt)
-            slot2 = jnp.zeros((N, nx, Bb), dt) if split_mode \
-                else zf(N, nx, nx)
-            fac0 = (zf(N, nu, nx), zf(N, nx, nx), slot2,
-                    zf(N, nu, nu), jnp.full((Bb,), -1.0, dt))
+            if split_mode:
+                fac0 = (zf(N, nz, nx), zf(N, nz, nu), zf(N, nz, nx),
+                        jnp.zeros((N, nx, Bb), dt),
+                        jnp.full((Bb,), -1.0, dt))
+            else:
+                fac0 = (zf(N, nu, nx), zf(N, nx, nx), zf(N, nx, nx),
+                        zf(N, nu, nu), jnp.full((Bb,), -1.0, dt))
         carry0 = carry0 + (fac0,)
     body = iteration_1k if single_kernel else (
         iteration_split if split_mode else iteration)
